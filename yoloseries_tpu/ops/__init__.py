@@ -1,0 +1,25 @@
+from .anchors import YOLOV5_ANCHORS, feature_map_shape, make_grid, pyramid_anchors
+from .boxes import (
+    box_candidates,
+    tblr2xyxy,
+    unletterbox_boxes,
+    xywh2xyxy,
+    xywhn2xyxy,
+    xyxy2tblr,
+    xyxy2xywh,
+    xyxy2xywhn,
+)
+from .iou import ciou, diou, giou, iou, pairwise_iou
+from .letterbox import (
+    LetterboxInfo,
+    letterbox_boxes,
+    letterbox_image,
+    unletterbox_boxes_np,
+)
+from .metrics import DetectionMetrics, compute_ap, compute_tp, pairwise_iou_np
+from .nms import (
+    greedy_nms,
+    postprocess_detections,
+    select_topk_candidates,
+    soft_nms,
+)
