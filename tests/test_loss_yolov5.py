@@ -1,0 +1,121 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yoloseries_tpu.losses import (
+    YOLOv5LossConfig,
+    bce_with_logits,
+    focal_loss_factor,
+    initial_balances,
+    yolov5_loss,
+)
+from yoloseries_tpu.ops import YOLOV5_ANCHORS
+
+ANCHORS = jnp.asarray(YOLOV5_ANCHORS)
+
+
+def make_preds(batch, size, nc, value=0.0):
+    return [
+        jnp.full((batch, size // s, size // s, 3 * (5 + nc)), value, jnp.float32)
+        for s in (8, 16, 32)
+    ]
+
+
+def test_bce_with_logits_matches_torch_semantics():
+    import torch
+
+    logits = np.random.default_rng(0).normal(size=(4, 7)).astype(np.float32)
+    targets = np.random.default_rng(1).uniform(size=(4, 7)).astype(np.float32)
+    ours = np.asarray(bce_with_logits(jnp.asarray(logits), jnp.asarray(targets), 2.5))
+    theirs = torch.nn.functional.binary_cross_entropy_with_logits(
+        torch.from_numpy(logits),
+        torch.from_numpy(targets),
+        pos_weight=torch.tensor(2.5),
+        reduction="none",
+    ).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_focal_factor_range():
+    logits = jnp.asarray(np.linspace(-5, 5, 11, dtype=np.float32))
+    t1 = jnp.ones_like(logits)
+    f = np.asarray(focal_loss_factor(logits, t1))
+    assert np.all(f > 0) and np.all(f <= 0.25 + 1e-6)
+    # confident correct positives get small factor
+    assert f[-1] < f[0]
+
+
+def test_assignment_counts_hand_computed():
+    """One 64x64-image target: box (0.2, 0.2, 64.2, 64.2) center (32.2, 32.2).
+
+    Hand-derived positives (anchor-ratio thr 4.0, cross-grid expansion):
+      stage /8  (fm 8x8):  anchor 2 only, 3 cells -> 3
+      stage /16 (fm 4x4):  anchor 2 only, 3 cells -> 3
+      stage /32 (fm 2x2):  anchors 1 and 2, 3 cells each -> 6
+    total tar_nums = 12.
+    """
+    size, nc = 64, 3
+    cfg = YOLOv5LossConfig(num_class=nc, input_size=(size, size))
+    preds = make_preds(1, size, nc)
+    t = np.full((1, 4, 6), -1, dtype=np.float32)
+    t[0, 0] = [0.2, 0.2, 64.2, 64.2, 1, 0]
+    loss_dict, _ = yolov5_loss(preds, jnp.asarray(t), ANCHORS, initial_balances(), cfg)
+    assert int(loss_dict["tar_nums"]) == 12
+
+
+def test_loss_padding_rows_are_ignored():
+    size, nc = 64, 3
+    cfg = YOLOv5LossConfig(num_class=nc, input_size=(size, size))
+    preds = make_preds(2, size, nc)
+    t1 = np.full((2, 4, 6), -1, dtype=np.float32)
+    t1[0, 0] = [8, 8, 40, 40, 0, 0]
+    t2 = np.full((2, 16, 6), -1, dtype=np.float32)  # more padding slots
+    t2[0, 0] = [8, 8, 40, 40, 0, 0]
+    d1, _ = yolov5_loss(preds, jnp.asarray(t1), ANCHORS, initial_balances(), cfg)
+    d2, _ = yolov5_loss(preds, jnp.asarray(t2), ANCHORS, initial_balances(), cfg)
+    np.testing.assert_allclose(
+        float(d1["tot_loss"]), float(d2["tot_loss"]), rtol=1e-5
+    )
+    assert int(d1["tar_nums"]) == int(d2["tar_nums"])
+
+
+def test_loss_gradient_descends():
+    """A few SGD steps on the raw prediction maps must reduce the loss."""
+    size, nc = 64, 3
+    cfg = YOLOv5LossConfig(num_class=nc, input_size=(size, size), use_focal_loss=False)
+    rng = np.random.default_rng(0)
+    preds = [
+        jnp.asarray(rng.normal(0, 0.5, (1, size // s, size // s, 3 * (5 + nc))).astype(np.float32))
+        for s in (8, 16, 32)
+    ]
+    t = np.full((1, 4, 6), -1, dtype=np.float32)
+    t[0, 0] = [8, 8, 48, 48, 1, 0]
+    t[0, 1] = [30, 30, 60, 62, 2, 0]
+    targets = jnp.asarray(t)
+
+    @jax.jit
+    def step(preds):
+        def f(ps):
+            d, _ = yolov5_loss(ps, targets, ANCHORS, initial_balances(), cfg)
+            return d["tot_loss"]
+
+        loss, grads = jax.value_and_grad(f)(preds)
+        return loss, [p - 1.0 * g for p, g in zip(preds, grads)]
+
+    losses = []
+    for _ in range(20):
+        loss, preds = step(preds)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_balances_evolve_and_renormalize():
+    size, nc = 64, 3
+    cfg = YOLOv5LossConfig(num_class=nc, input_size=(size, size))
+    preds = make_preds(1, size, nc)
+    t = np.full((1, 4, 6), -1, dtype=np.float32)
+    t[0, 0] = [8, 8, 40, 40, 0, 0]
+    _, nb = yolov5_loss(preds, jnp.asarray(t), ANCHORS, initial_balances(), cfg)
+    nb = np.asarray(nb)
+    assert abs(nb[1] - 1.0) < 1e-6  # renormalized by middle stage
+    assert nb[0] != 4.0  # EMA moved

@@ -1,0 +1,84 @@
+"""Multi-device data-parallel tests on an 8-fake-CPU-device mesh.
+
+Each test's body runs in a clean subprocess (see conftest for why).
+"""
+
+from conftest import run_in_clean_subprocess
+
+
+def test_dryrun_multichip_8():
+    """The driver's multichip entry: full yolov5s train step over 8 devices."""
+    proc = run_in_clean_subprocess(
+        "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"
+    )
+    assert "dryrun_multichip ok" in proc.stdout
+
+
+def test_data_parallel_matches_single_device():
+    """A sharded train step produces the same loss as the unsharded one."""
+    code = """
+import jax, jax.numpy as jnp, numpy as np
+assert len(jax.devices()) == 8, jax.devices()
+from yoloseries_tpu.losses import YOLOv5LossConfig
+from yoloseries_tpu.models import create_model
+from yoloseries_tpu.ops import YOLOV5_ANCHORS
+from yoloseries_tpu.parallel import batch_sharding, make_mesh, replicate_state
+from yoloseries_tpu.train import OptimizerConfig, build_optimizer, create_train_state, make_train_step
+
+size, nc, B = 64, 3, 8
+model = create_model('yolov5s', num_class=nc)
+cfg = OptimizerConfig(batch_size=B, total_epochs=2, steps_per_epoch=2, do_warmup=False)
+variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), train=False)
+tx = build_optimizer(cfg, variables['params'])
+loss_cfg = YOLOv5LossConfig(num_class=nc, input_size=(size, size))
+step_fn = make_train_step(loss_cfg, YOLOV5_ANCHORS, donate=False)
+
+rng = np.random.default_rng(0)
+img = rng.integers(0, 255, (B, size, size, 3), dtype=np.uint8)
+ann = np.full((B, 8, 6), -1, dtype=np.float32)
+for i in range(B):
+    ann[i, 0] = [8, 8, 40, 40, i % nc, i]
+
+# single device
+s1 = create_train_state(model, tx, jax.random.PRNGKey(0), (1, size, size, 3))
+_, m1 = step_fn(s1, {'img': jnp.asarray(img), 'ann': jnp.asarray(ann)})
+
+# 8-device mesh
+mesh = make_mesh()
+s8 = create_train_state(model, tx, jax.random.PRNGKey(0), (1, size, size, 3))
+s8 = replicate_state(s8, mesh)
+shard = batch_sharding(mesh)
+batch = {'img': jax.device_put(jnp.asarray(img), shard),
+         'ann': jax.device_put(jnp.asarray(ann), shard)}
+_, m8 = step_fn(s8, batch)
+
+l1, l8 = float(m1['tot_loss']), float(m8['tot_loss'])
+assert abs(l1 - l8) / abs(l1) < 1e-4, (l1, l8)
+g1, g8 = float(m1['grad_norm']), float(m8['grad_norm'])
+assert abs(g1 - g8) / abs(g1) < 1e-3, (g1, g8)
+print('sharded == single:', l1, l8)
+"""
+    proc = run_in_clean_subprocess(code)
+    assert "sharded == single" in proc.stdout
+
+
+def test_postprocess_sharded_batch():
+    """vmapped NMS postprocess runs under a sharded batch axis."""
+    code = """
+import jax, jax.numpy as jnp, numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from yoloseries_tpu.ops import postprocess_detections
+from yoloseries_tpu.parallel import make_mesh
+
+mesh = make_mesh()
+rng = np.random.default_rng(0)
+pred = rng.uniform(0, 1, (8, 256, 10)).astype(np.float32)
+pred[..., :4] *= 300
+x = jax.device_put(jnp.asarray(pred), NamedSharding(mesh, P('data')))
+fn = jax.jit(jax.vmap(lambda p: postprocess_detections(p, 0.25, 0.1, 0.5, num_candidates=64, max_keep=20)))
+out = fn(x)
+assert out.shape == (8, 20, 6)
+print('sharded postprocess ok')
+"""
+    proc = run_in_clean_subprocess(code)
+    assert "sharded postprocess ok" in proc.stdout

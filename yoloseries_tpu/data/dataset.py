@@ -1,0 +1,171 @@
+"""Folder-of-images + txt-label dataset (host side).
+
+Data layout matches the reference (README.md:25-50):
+
+    img_dir/000001.jpg ...
+    lab_dir/000001.txt   lines: "class_id xmin ymin xmax ymax" (absolute px)
+    names.txt            lines: "class_id name"
+
+Augmentation follows YOLODataset.__getitem__ (dataset/datasets.py:404-441):
+mosaic(+nested mixup) with probability, then the perspective/cutout/HSV/flip
+chain, a validity filter, and resample-until-nonempty.
+
+Differences from the reference (intentional):
+* labels are parsed fully — the reference's ``np.loadtxt(..., skiprows=1)``
+  (dataset/datasets.py:171) silently drops every file's first box; we do not
+  replicate that bug,
+* randomness comes from an explicit np.random.Generator so results are
+  reproducible per (seed, epoch, index).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+from .augment import AugmentConfig, apply_transform_chain, mixup, mosaic4, valid_boxes_mask
+
+__all__ = ["DetectionDataset", "load_names"]
+
+IMG_EXTENSIONS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+
+
+def load_names(path) -> dict[int, str]:
+    """Parse names.txt: 'class_id name' per line (dataset/datasets.py names map)."""
+    out = {}
+    for line in Path(path).read_text().splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        idx, name = line.split(maxsplit=1)
+        out[int(idx)] = name
+    return out
+
+
+class DetectionDataset:
+    """Index of (image, label) pairs with reference-parity augmentation."""
+
+    def __init__(
+        self,
+        img_dir,
+        lab_dir,
+        names_path=None,
+        input_size=(640, 640),
+        aug: AugmentConfig | None = None,
+        enable_aug: bool = True,
+    ):
+        self.img_dir = Path(img_dir)
+        self.lab_dir = Path(lab_dir)
+        self.input_size = tuple(input_size)
+        self.aug = aug or AugmentConfig(input_size=tuple(input_size))
+        self.enable_aug = enable_aug
+
+        self.img_files = sorted(
+            p for p in self.img_dir.iterdir() if p.suffix.lower() in IMG_EXTENSIONS
+        )
+        if not self.img_files:
+            raise FileNotFoundError(f"no images under {self.img_dir}")
+        # consistency check (dataset/datasets.py asserts file pairing)
+        missing = [
+            p.name for p in self.img_files
+            if not (self.lab_dir / f"{p.stem}.txt").exists()
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"{len(missing)} images lack label files, e.g. {missing[:3]}"
+            )
+
+        if names_path is not None:
+            self.cls2name = load_names(names_path)
+        else:
+            self.cls2name = {}
+        self._num_class = None
+
+    def __len__(self):
+        return len(self.img_files)
+
+    @property
+    def num_class(self) -> int:
+        if self.cls2name:
+            return max(self.cls2name) + 1
+        if self._num_class is None:
+            classes = set()
+            for p in self.img_files:
+                ann = self.load_annotations(self.img_files.index(p))
+                classes.update(ann[:, 0].astype(int).tolist())
+            self._num_class = (max(classes) + 1) if classes else 1
+        return self._num_class
+
+    def load_img(self, idx: int) -> np.ndarray:
+        img = np.asarray(Image.open(self.img_files[idx]).convert("RGB"))
+        return img
+
+    def load_annotations(self, idx: int) -> np.ndarray:
+        """Returns (N, 5) [cls, xmin, ymin, xmax, ymax]; boxes with any side
+        < 1 px are dropped (dataset/datasets.py:178-181)."""
+        path = self.lab_dir / f"{self.img_files[idx].stem}.txt"
+        try:
+            ann = np.loadtxt(str(path), dtype=np.float32, ndmin=2)
+        except (ValueError, OSError):
+            ann = np.zeros((0, 5), dtype=np.float32)
+        if ann.size == 0:
+            return np.zeros((0, 5), dtype=np.float32)
+        assert ann.shape[1] == 5, f"bad label shape {ann.shape} in {path}"
+        whs = ann[:, [3, 4]] - ann[:, [1, 2]]
+        return ann[np.all(whs >= 1, axis=1)]
+
+    def pull_item(self, idx: int):
+        """Raw (img, boxes (N,4) xyxy, classes (N,))."""
+        img = self.load_img(idx)
+        ann = self.load_annotations(idx)
+        return img, ann[:, 1:5].copy(), ann[:, 0].copy()
+
+    def _mosaic(self, idx: int, rng: np.random.Generator):
+        indices = [idx] + [int(rng.integers(0, len(self))) for _ in range(3)]
+        rng.shuffle(indices)
+        imgs, boxes, labels = [], [], []
+        for i in indices:
+            im, b, l = self.pull_item(i)
+            imgs.append(im)
+            boxes.append(b)
+            labels.append(l)
+        return mosaic4(
+            imgs, boxes, labels,
+            mosaic_shape=[2 * s for s in self.input_size],
+            fill_value=self.aug.fill_value,
+            rng=rng,
+        )
+
+    def get(self, idx: int, rng: np.random.Generator, enable_aug: bool | None = None):
+        """One training sample after augmentation.
+
+        Returns (img uint8 HxWx3, boxes (N, 4) xyxy float32, classes (N,)).
+        Resamples (up to a bound) when augmentation leaves no valid boxes,
+        mirroring the reference's while-loop (dataset/datasets.py:436-440).
+        """
+        if enable_aug is None:
+            enable_aug = self.enable_aug
+
+        for _attempt in range(10):
+            img, boxes, labels = self.pull_item(idx)
+            if enable_aug:
+                if rng.random() < self.aug.mosaic_p:
+                    img, boxes, labels = self._mosaic(idx, rng)
+                    if rng.random() < self.aug.mixup_p:
+                        im2, b2, l2 = self._mosaic(int(rng.integers(0, len(self))), rng)
+                        img, boxes, labels = mixup(img, boxes, labels, im2, b2, l2, rng)
+                img, boxes, labels = apply_transform_chain(
+                    img, boxes, labels, self.aug, rng
+                )
+            if len(boxes):
+                keep = valid_boxes_mask(boxes)
+                boxes, labels = boxes[keep], labels[keep]
+            if len(boxes) and boxes.sum() > 0:
+                return img, boxes.astype(np.float32), labels.astype(np.float32)
+            idx = int(rng.integers(0, len(self)))
+
+        # give up augmenting; return the raw item even if empty
+        img, boxes, labels = self.pull_item(idx)
+        return img, boxes.astype(np.float32), labels.astype(np.float32)

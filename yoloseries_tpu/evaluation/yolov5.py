@@ -1,0 +1,165 @@
+"""YOLOv5 evaluator: on-device decode + TTA + NMS, fixed shapes.
+
+Rebuilds trainer/eval_yolov5.py TPU-first. The reference decodes on GPU and
+ships the full prediction tensor to CPU for numba NMS (:261-317); here the
+whole path — model forward, sigmoid decode (:181-209), optional test-time
+augmentation (:152-179), confidence gating and greedy NMS — is one jitted
+function producing a static (B, max_keep, 6) tensor. Only the final slots
+travel to host, where `unletterbox` maps them back to original image coords.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.anchors import make_grid
+from ..ops.nms import postprocess_detections
+
+__all__ = ["decode_yolov5", "EvalConfig", "Evaluator", "scale_and_pad"]
+
+
+def decode_yolov5(stage_preds, anchors, strides=(8, 16, 32)):
+    """Raw NHWC maps -> (B, N, 5+nc) [cx, cy, w, h, obj, cls...] in pixels.
+
+    Matches YOLOV5Evaluator.do_inference (trainer/eval_yolov5.py:181-209):
+    xy = (2*sigmoid - 0.5 + grid) * stride, wh = (2*sigmoid)^2 * anchor.
+    """
+    outs = []
+    num_anchor = anchors.shape[1]
+    for pred, stride in zip(stage_preds, strides):
+        b, h, w, c = pred.shape
+        no = c // num_anchor
+        p = jax.nn.sigmoid(pred.astype(jnp.float32).reshape(b, h, w, num_anchor, no))
+        grid = jnp.asarray(make_grid(h, w))  # (h, w, 2)
+        anchor = anchors[strides.index(stride) if isinstance(strides, list) else
+                         list(strides).index(stride)].astype(jnp.float32)
+        xy = (p[..., 0:2] * 2.0 - 0.5 + grid[None, :, :, None, :]) * stride
+        wh = (p[..., 2:4] * 2.0) ** 2 * anchor[None, None, None, :, :]
+        out = jnp.concatenate([xy, wh, p[..., 4:]], axis=-1)
+        outs.append(out.reshape(b, h * w * num_anchor, no))
+    return jnp.concatenate(outs, axis=1)
+
+
+def scale_and_pad(img, scale_factor, pad_value=0.447):
+    """Bilinear downscale then zero-pad back to /32-aligned size
+    (trainer/eval_yolov5.py:211-227). img: (B, H, W, 3) float."""
+    if scale_factor == 1.0:
+        return img
+    b, h, w, c = img.shape
+    nh, nw = int(scale_factor * h), int(scale_factor * w)
+    out = jax.image.resize(img, (b, nh, nw, c), method="bilinear")
+    oh = int(np.ceil(h / 32) * 32)
+    ow = int(np.ceil(w / 32) * 32)
+    return jnp.pad(
+        out,
+        ((0, 0), (0, oh - nh), (0, ow - nw), (0, 0)),
+        constant_values=pad_value,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    conf_threshold: float = 0.001
+    cls_threshold: float = 0.001
+    iou_threshold: float = 0.65
+    num_candidates: int = 2048
+    max_keep: int = 300
+    class_aware: bool = True  # the reference's (misnamed) `agnostic: true`
+    merge_boxes: bool = True  # `postprocess_bbox`
+    use_tta: bool = False
+    tta_scales: tuple = (1.0, 0.83, 0.67)
+    # flip axis per TTA branch: None / 1 (H, flip-up-down) / 2 (W, flip-lr)
+    tta_flips: tuple = (None, 1, 2)
+
+
+class Evaluator:
+    """Wraps (apply_fn, decode_fn) into a jitted image->detections pipeline.
+
+    apply_fn(variables, img, train=False) -> stage_preds.
+    decode_fn(stage_preds) -> (B, N, 5+nc) pixel-space predictions.
+    """
+
+    def __init__(self, apply_fn: Callable, decode_fn: Callable, cfg: EvalConfig):
+        self.apply_fn = apply_fn
+        self.decode_fn = decode_fn
+        self.cfg = cfg
+        self._jitted = jax.jit(self._run)
+
+    def _infer(self, variables, img):
+        preds = self.apply_fn(variables, img, train=False)
+        return self.decode_fn(preds)
+
+    def _infer_tta(self, variables, img):
+        """3x scale/flip inference, merged (trainer/eval_yolov5.py:152-179)."""
+        b, img_h, img_w, _ = img.shape
+        merged = []
+        for s, f in zip(self.cfg.tta_scales, self.cfg.tta_flips):
+            x = jnp.flip(img, axis=f) if f is not None else img
+            x = scale_and_pad(x, s)
+            p = self._infer(variables, x)
+            p = p.at[..., 0:4].set(p[..., 0:4] / s)
+            if f == 1:  # flipped along H -> mirror y
+                p = p.at[..., 1].set(img_h - p[..., 1])
+            if f == 2:  # flipped along W -> mirror x
+                p = p.at[..., 0].set(img_w - p[..., 0])
+            merged.append(p)
+        return jnp.concatenate(merged, axis=1)
+
+    def _run(self, variables, img):
+        img = img.astype(jnp.float32)
+        if self.cfg.use_tta:
+            preds = self._infer_tta(variables, img)
+        else:
+            preds = self._infer(variables, img)
+        post = partial(
+            postprocess_detections,
+            conf_threshold=self.cfg.conf_threshold,
+            cls_threshold=self.cfg.cls_threshold,
+            iou_threshold=self.cfg.iou_threshold,
+            num_candidates=self.cfg.num_candidates,
+            max_keep=self.cfg.max_keep,
+            class_aware=self.cfg.class_aware,
+            merge_boxes=self.cfg.merge_boxes,
+        )
+        return jax.vmap(post)(preds)
+
+    def __call__(self, variables, img) -> jnp.ndarray:
+        """img: (B, H, W, 3) uint8 or float in [0, 255] (uint8) / [0, 1].
+
+        uint8 input is normalized on device. Returns (B, max_keep, 6)
+        [x1, y1, x2, y2, conf, cls] in letterboxed input pixels; invalid
+        slots have conf 0.
+        """
+        img = jnp.asarray(img)
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) / 255.0
+        return self._jitted(variables, img)
+
+    @staticmethod
+    def to_host_detections(dets, infos=None) -> list:
+        """(B, K, 6) device tensor -> list of per-image (n, 6) numpy arrays in
+        original-image coordinates (None when an image has no detections).
+
+        infos: optional (B, 5) [scale, pad_left, pad_top, org_w, org_h].
+        """
+        dets = np.asarray(dets)
+        out = []
+        for i in range(dets.shape[0]):
+            d = dets[i]
+            d = d[d[:, 4] > 0]
+            if len(d) == 0:
+                out.append(None)
+                continue
+            if infos is not None:
+                scale, pad_l, pad_t, org_w, org_h = np.asarray(infos[i])
+                d = d.copy()
+                d[:, [0, 2]] = ((d[:, [0, 2]] - pad_l) / scale).clip(0, org_w)
+                d[:, [1, 3]] = ((d[:, [1, 3]] - pad_t) / scale).clip(0, org_h)
+            out.append(d)
+        return out

@@ -1,0 +1,342 @@
+"""YOLOX loss — dense fixed-shape SimOTA (rebuild of loss/yolox_loss.py).
+
+The reference assigns per image with dynamic shapes (boolean indexing of
+foreground candidates, per-gt top-k loops, loss/yolox_loss.py:95-358). Here
+every stage builds a dense (M gt-slots x P positions) lattice per image:
+
+* candidate gating (select_grid :235-303): grid center inside the gt box OR
+  inside the center-radius square; "and"-pairs feed the cost penalty,
+* cost = cls_bce(sqrt(cls*cof) vs onehot) + 3 * (-log iou) + 1e5 * !pair
+  (:149), with an extra huge penalty on non-candidate columns / padded gts,
+* dynamic-k from the sum of the top-10 candidate IoUs (simple_ota :305-359);
+  per-gt "pick k cheapest" becomes rank(cost) < k via double argsort,
+* one-gt-per-position conflicts resolve to the min-cost gt (:341-346).
+
+Per-image memory is O(M * P); the batch is processed with lax.map in chunks
+(`image_chunk`) instead of a full vmap so the (M, P) lattices never
+materialize for all images at once.
+
+Deviations (documented):
+* the reference's no-candidate fallback randomly keeps ~20% of
+  nearest-to-gt grid cells (:270-278); here the nearest cell per gt is kept
+  deterministically (a superset of one sample of that distribution),
+* losses use stable softplus-based BCE instead of raw log(sigmoid).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.boxes import xywh2xyxy
+from .common import bce_with_logits, focal_loss_factor
+
+__all__ = ["YOLOXLossConfig", "yolox_loss", "yolox_initial_balances"]
+
+
+@dataclasses.dataclass(frozen=True)
+class YOLOXLossConfig:
+    num_class: int
+    input_size: tuple = (640, 640)
+    strides: tuple = (8, 16, 32)
+    topk: int = 13  # config/train_yolox.yaml:55
+    center_radius: float = 3.0  # :56 (in pixels, NOT stride units — parity)
+    iou_type: str = "ciou"  # :51
+    use_l1: bool = True
+    iou_loss_scale: float = 5.0
+    cls_loss_scale: float = 1.0
+    cof_loss_scale: float = 1.0
+    l1_loss_scale: float = 1.0
+    cls_pos_weight: float = 1.0
+    cof_pos_weight: float = 1.0
+    class_smooth_factor: float = 1.0
+    use_focal_loss: bool = False
+    focal_loss_gamma: float = 1.5
+    focal_loss_alpha: float = 0.25
+    image_chunk: int = 8  # lax.map batch size for the assignment
+
+
+def yolox_initial_balances(num_stages: int = 3) -> jnp.ndarray:
+    if num_stages == 3:
+        return jnp.array([4.0, 1.0, 0.4])
+    return jnp.array([4.0, 1.0, 0.4, 0.1])
+
+
+def _iou_xywh(box1, box2, eps=1e-9):
+    """IoU for (..., 4) xywh boxes with the reference's (buggy-looking but
+    replicated) denominator `union_sum - inter` (loss/yolox_loss.py:380-386)."""
+    b1 = xywh2xyxy(box1)
+    b2 = xywh2xyxy(box2)
+    lt = jnp.maximum(b1[..., 0:2], b2[..., 0:2])
+    rb = jnp.minimum(b1[..., 2:4], b2[..., 2:4])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_sum = jnp.clip(box1[..., 2] * box1[..., 3], 0.0) + jnp.clip(
+        box2[..., 2] * box2[..., 3], 0.0
+    )
+    return inter / (area_sum - inter + eps)
+
+
+def _iou_loss(pred_xywh, tar_xywh, iou_type, eps=1e-9):
+    """Regression loss (loss/yolox_loss.py:363-415): 1 - iou^2 / giou / ciou."""
+    iou = _iou_xywh(pred_xywh, tar_xywh, eps)
+    if iou_type == "iou":
+        return 1.0 - iou**2
+    b1 = xywh2xyxy(pred_xywh)
+    b2 = xywh2xyxy(tar_xywh)
+    cw = jnp.clip(
+        jnp.maximum(b1[..., 2], b2[..., 2]) - jnp.minimum(b1[..., 0], b2[..., 0]), 0.0
+    )
+    ch = jnp.clip(
+        jnp.maximum(b1[..., 3], b2[..., 3]) - jnp.minimum(b1[..., 1], b2[..., 1]), 0.0
+    )
+    if iou_type == "giou":
+        union = jnp.clip(pred_xywh[..., 2] * pred_xywh[..., 3], 0.0) + jnp.clip(
+            tar_xywh[..., 2] * tar_xywh[..., 3], 0.0
+        )
+        convex = cw * ch
+        giou = iou - jnp.abs(convex - union) / (convex + eps)
+        return 1.0 - jnp.clip(giou, -1.0, 1.0)
+    # ciou
+    import math
+
+    c_diag = cw**2 + ch**2 + eps
+    dist = (pred_xywh[..., 0] - tar_xywh[..., 0]) ** 2 + (
+        pred_xywh[..., 1] - tar_xywh[..., 1]
+    ) ** 2
+    v = (4.0 / math.pi**2) * (
+        jnp.arctan(pred_xywh[..., 2] / jnp.clip(pred_xywh[..., 3], eps))
+        - jnp.arctan(tar_xywh[..., 2] / jnp.clip(tar_xywh[..., 3], eps))
+    ) ** 2
+    alpha = jax.lax.stop_gradient(v / jnp.clip(1.0 - iou + v, eps))
+    return 1.0 - (iou - dist / c_diag - v * alpha)
+
+
+def _simota_assign_image(gt_xywh, gt_cls, gt_valid, pred_decoded, pred_raw,
+                         ctr_grid, cfg: YOLOXLossConfig):
+    """SimOTA for one image, one stage — dense, static shapes.
+
+    gt_xywh (M, 4) input-pixel xywh; gt_cls (M,) int; gt_valid (M,) bool;
+    pred_decoded (P, 5+nc) pixel xywh + raw obj/cls logits; pred_raw: same
+    tensor before decode (unused here); ctr_grid (P, 2) cell centers in px.
+
+    Returns per-position targets:
+      fg (P,) bool, tar_box (P, 4) xywh, tar_cls (P, nc), matched gt idx (P,).
+    """
+    nc = cfg.num_class
+    M = gt_xywh.shape[0]
+    P = ctr_grid.shape[0]
+    eps = 1e-9
+
+    half = gt_xywh[:, 2:4] * 0.5
+    gt_min = gt_xywh[:, 0:2] - half  # (M, 2)
+    gt_max = gt_xywh[:, 0:2] + half
+
+    # grid center inside gt box (select_grid :254-262)
+    d_lo = ctr_grid[None, :, :] - gt_min[:, None, :]  # (M, P, 2)
+    d_hi = gt_max[:, None, :] - ctr_grid[None, :, :]
+    in_box = (
+        jnp.min(jnp.concatenate([d_lo, d_hi], axis=-1), axis=-1) > eps
+    ) & gt_valid[:, None]
+
+    # fallback: if NO grid center is inside ANY gt box, use the nearest
+    # grid cell per gt (deterministic version of :270-278)
+    any_in_box = jnp.any(in_box)
+    dist2 = jnp.sum(
+        (gt_xywh[:, None, 0:2] - ctr_grid[None, :, :]) ** 2, axis=-1
+    )  # (M, P)
+    nearest = jax.nn.one_hot(jnp.argmin(dist2, axis=1), P, dtype=bool) & gt_valid[:, None]
+    in_box_all = jnp.where(any_in_box, jnp.any(in_box, axis=0), jnp.any(nearest, axis=0))
+
+    # grid center inside the center-radius square (:282-295)
+    r = cfg.center_radius
+    c_lo = ctr_grid[None, :, :] - (gt_xywh[:, None, 0:2] - r)
+    c_hi = (gt_xywh[:, None, 0:2] + r) - ctr_grid[None, :, :]
+    in_ctr = (
+        jnp.min(jnp.concatenate([c_lo, c_hi], axis=-1), axis=-1) > eps
+    ) & gt_valid[:, None]
+    in_ctr_all = jnp.any(in_ctr, axis=0)
+    in_ctr_all = jnp.where(jnp.any(in_ctr_all), in_ctr_all, in_box_all)  # :297-298
+
+    fg_cand = in_box_all | in_ctr_all  # (P,) candidate columns
+    pair_ok = in_box & in_ctr  # (M, P)
+
+    # ---- cost matrix over candidates (:139-149)
+    pred_box = pred_decoded[:, 0:4]  # (P, 4) xywh pixels
+    iou = _iou_xywh(gt_xywh[:, None, :], pred_box[None, :, :])  # (M, P)
+    iou = jnp.where(gt_valid[:, None] & fg_cand[None, :], iou, 0.0)
+    iou_cost = -jnp.log(iou + eps)
+
+    p_cof = jax.nn.sigmoid(pred_decoded[:, 4])  # (P,)
+    p_cls = jax.nn.sigmoid(pred_decoded[:, 5:])  # (P, nc)
+    joint = jnp.sqrt(jnp.clip(p_cls * p_cof[:, None], eps, 1.0))  # (P, nc)
+    t_onehot = (
+        jax.nn.one_hot(gt_cls, nc) * cfg.class_smooth_factor
+    )  # (M, nc)
+    # BCE between sqrt(cls*cof) probability and one-hot target, summed over
+    # classes (:141-148)
+    cls_cost = -(
+        t_onehot[:, None, :] * jnp.log(joint[None, :, :])
+        + (1.0 - t_onehot[:, None, :]) * jnp.log(jnp.clip(1.0 - joint[None, :, :], eps))
+    ).sum(-1)
+
+    big = 1e5
+    cost = (
+        jax.lax.stop_gradient(cls_cost)
+        + 3.0 * jax.lax.stop_gradient(iou_cost)
+        + big * (~pair_ok)
+    )
+    # dead columns / padded gts can never match
+    cost = jnp.where(gt_valid[:, None] & fg_cand[None, :], cost, jnp.inf)
+
+    # ---- dynamic-k selection (simple_ota :305-359)
+    k = min(cfg.topk, P)
+    topk_iou, _ = jax.lax.top_k(iou, k)  # masked iou: zeros off-candidates
+    dynamic_k = jnp.clip(jnp.sum(topk_iou, axis=1).astype(jnp.int32), 1, P)  # (M,)
+
+    order = jnp.argsort(cost, axis=1)  # ascending
+    rank = jnp.argsort(order, axis=1)  # rank[i, j] = position of j in row i
+    matching = (rank < dynamic_k[:, None]) & gt_valid[:, None]
+    matching &= jnp.isfinite(cost)  # never match dead cells
+
+    # resolve positions matched to >1 gt: keep the min-cost row (:341-346)
+    col_hits = jnp.sum(matching, axis=0)
+    winner = jnp.argmin(jnp.where(jnp.isfinite(cost), cost, 1e30), axis=0)  # (P,)
+    winner_mat = jnp.arange(M)[:, None] == winner[None, :]  # (M, P)
+    matching = jnp.where(col_hits[None, :] > 1, matching & winner_mat, matching)
+
+    fg = jnp.any(matching, axis=0)  # (P,)
+    matched_gt = jnp.argmax(matching, axis=0)  # (P,) valid where fg
+    matched_iou = jnp.sum(matching * iou, axis=0)  # (P,)
+
+    tar_cls = t_onehot[matched_gt] * matched_iou[:, None]  # (P, nc)
+    tar_box = gt_xywh[matched_gt]  # (P, 4)
+    return fg, tar_box, tar_cls, matched_iou
+
+
+def yolox_loss(
+    stage_preds: Dict[str, jnp.ndarray] | Sequence[jnp.ndarray],
+    targets: jnp.ndarray,
+    balances: jnp.ndarray,
+    cfg: YOLOXLossConfig,
+):
+    """Compute the YOLOX training loss.
+
+    stage_preds: per-stage NHWC maps (B, H, W, A*(4+1+nc)) with channel
+      order [x, y, w, h, cof, cls...] (A=1), strides 8/16/32.
+    targets: (B, M, 6) [xmin, ymin, xmax, ymax, cls, img_idx], -1 padded.
+    balances: (num_stages,) conf balance state (EMA self-tuned, :63-65).
+    """
+    if isinstance(stage_preds, dict):
+        stage_preds = list(stage_preds.values())
+    num_stages = len(stage_preds)
+    B, M = targets.shape[0], targets.shape[1]
+    nc = cfg.num_class
+
+    gt_valid = targets[..., 4] >= 0
+    half_wh = (targets[..., 2:4] - targets[..., 0:2]) * 0.5
+    gt_xywh = jnp.concatenate(
+        [targets[..., 0:2] + half_wh, half_wh * 2.0], axis=-1
+    ).astype(jnp.float32)
+    gt_cls = jnp.clip(targets[..., 4].astype(jnp.int32), 0, nc - 1)
+
+    tot = {
+        "iou_loss": 0.0, "cls_loss": 0.0, "cof_loss": 0.0, "l1_loss": 0.0,
+        "fg_nums": 0.0, "tar_nums": jnp.sum(gt_valid.astype(jnp.float32)),
+    }
+    new_balances = []
+
+    for si, pred in enumerate(stage_preds):
+        b, h, w, c = pred.shape
+        stride = cfg.input_size[0] / h
+        no = 4 + 1 + nc
+        pred = pred.astype(jnp.float32).reshape(B, h * w * (c // no), no)
+        P = pred.shape[1]
+
+        ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+        grid = jnp.stack([xs, ys], axis=-1).reshape(-1, 2).astype(jnp.float32)
+        ctr_grid = (grid + 0.5) * stride  # (P, 2) cell centers in px
+
+        # decode to input scale (:112-114)
+        dec_xy = (pred[..., 0:2] + grid[None]) * stride
+        dec_wh = jnp.exp(jnp.clip(pred[..., 2:4], -20.0, 20.0)) * stride
+        decoded = jnp.concatenate([dec_xy, dec_wh, pred[..., 4:]], axis=-1)
+
+        def assign_one(args):
+            g_box, g_cls, g_val, dec = args
+            return _simota_assign_image(
+                g_box, g_cls, g_val, dec, None, ctr_grid, cfg
+            )
+
+        fg, tar_box, tar_cls, matched_iou = jax.lax.map(
+            assign_one,
+            (gt_xywh, gt_cls, gt_valid, decoded),
+            batch_size=min(cfg.image_chunk, B),
+        )
+        # fg (B, P); tar_box (B, P, 4); tar_cls (B, P, nc)
+        fgf = fg.astype(jnp.float32)
+        num_fg = jnp.maximum(jnp.sum(fgf), 1.0)
+
+        # regression
+        iou_l = _iou_loss(decoded[..., 0:4], tar_box, cfg.iou_type)
+        tot["iou_loss"] += jnp.sum(iou_l * fgf) / num_fg
+
+        # l1 on raw offsets (build_l1_target :417-436)
+        if cfg.use_l1:
+            tar_l1 = jnp.concatenate(
+                [
+                    tar_box[..., 0:2] / stride - grid[None],
+                    jnp.log(tar_box[..., 2:4] / stride + 1e-16),
+                ],
+                axis=-1,
+            )
+            l1 = jnp.mean(jnp.abs(pred[..., 0:4] - tar_l1), axis=-1)
+            tot["l1_loss"] += jnp.sum(l1 * fgf) / num_fg
+
+        # confidence over ALL positions (normalized by fg count, :215-231)
+        cof_logits = pred[..., 4]
+        t_cof = fgf
+        bce_cof = bce_with_logits(cof_logits, t_cof, cfg.cof_pos_weight)
+        if cfg.use_focal_loss:
+            bce_cof = bce_cof * focal_loss_factor(
+                cof_logits, t_cof, cfg.focal_loss_gamma, cfg.focal_loss_alpha
+            )
+        cof_i = (jnp.sum(bce_cof) / num_fg) * balances[si]
+        new_balances.append(
+            balances[si] * 0.9999 + 0.0001 / jax.lax.stop_gradient(cof_i)
+        )
+        tot["cof_loss"] = tot["cof_loss"] + cof_i
+
+        # classification over fg positions
+        cls_logits = pred[..., 5:]
+        bce_cls = bce_with_logits(cls_logits, tar_cls, cfg.cls_pos_weight)
+        if cfg.use_focal_loss:
+            bce_cls = bce_cls * focal_loss_factor(
+                cls_logits, tar_cls, cfg.focal_loss_gamma, cfg.focal_loss_alpha
+            )
+        tot["cls_loss"] += jnp.sum(jnp.mean(bce_cls, axis=-1) * fgf) / num_fg
+
+        tot["fg_nums"] = tot["fg_nums"] + jnp.sum(fgf)
+
+    new_balances = jnp.stack(new_balances)
+    new_balances = new_balances / new_balances[1]
+
+    iou_loss = tot["iou_loss"] * cfg.iou_loss_scale
+    cls_loss = tot["cls_loss"] * cfg.cls_loss_scale
+    cof_loss = tot["cof_loss"] * cfg.cof_loss_scale
+    l1_loss = tot["l1_loss"] * cfg.l1_loss_scale
+    tot_loss = iou_loss + cls_loss + cof_loss + l1_loss
+
+    loss_dict = {
+        "tot_loss": tot_loss,
+        "iou_loss": jax.lax.stop_gradient(iou_loss),
+        "cls_loss": jax.lax.stop_gradient(cls_loss),
+        "cof_loss": jax.lax.stop_gradient(cof_loss),
+        "l1_loss": jax.lax.stop_gradient(l1_loss),
+        "fg_nums": jax.lax.stop_gradient(tot["fg_nums"]),
+        "tar_nums": tot["tar_nums"],
+    }
+    return loss_dict, new_balances

@@ -127,6 +127,7 @@ def select_topk_candidates(boxes, scores, classes, k):
     equivalent is score-masked top-K. Returns (boxes (k,4), scores (k,),
     classes (k,)) where padded slots have score 0.
     """
+    k = min(k, scores.shape[-1])
     scores_top, idx = jax.lax.top_k(scores, k)
     return boxes[idx], scores_top, classes[idx]
 

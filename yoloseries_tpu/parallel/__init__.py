@@ -1,0 +1,10 @@
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    process_count,
+    process_index,
+    replicate_state,
+    replicated,
+    shard_batch,
+    sync_batch_stats,
+)

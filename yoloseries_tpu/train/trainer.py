@@ -1,0 +1,229 @@
+"""The single Trainer — replaces the reference's six ~860-line Training
+god-classes (train_{yolov5,yolov7,yolov8,yolox,fcos,retinanet_experiment}.py)
+with ONE loop parameterized by (model name, loss, decoder).
+
+Structure vs the reference (call stack SURVEY §3.1):
+* before_train -> __init__: data loaders, mesh, model/state/optimizer build
+* step() epoch/iter loop -> train(): device-sharded batches through ONE
+  jitted train step (forward + assign + loss + grad + optimizer + EMA
+  fused; gradient accumulation via lax.scan inside the step)
+* after_epoch mAP eval -> evaluate(): EMA params, on-device decode+NMS,
+  host mAP_v2-equivalent metrics
+* save/load -> orbax checkpoints of the whole TrainState.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # avoid circular import (configs builds typed sub-configs)
+    from ..configs.config import TrainConfig
+
+from ..data.dataset import DetectionDataset
+from ..data.loader import DataLoader
+from ..evaluation.yolov5 import Evaluator, decode_yolov5
+from ..models import create_model
+from ..ops.anchors import YOLOV5_ANCHORS
+from ..ops.metrics import DetectionMetrics
+from ..parallel.mesh import batch_sharding, make_mesh, replicate_state
+from ..utils.meters import MeterBuffer
+from .checkpoint import restore_checkpoint, save_checkpoint
+from .optim import build_optimizer
+from .state import create_train_state, make_train_step
+
+__all__ = ["Trainer"]
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: "TrainConfig",
+        train_dirs: tuple,  # (img_dir, lab_dir)
+        val_dirs: tuple | None = None,
+        names_path=None,
+        model_name: str | None = None,
+        compute_dtype=jnp.float32,
+        log_fn=print,
+    ):
+        self.cfg = cfg
+        self.log = log_fn
+
+        self.train_dataset = DetectionDataset(
+            train_dirs[0], train_dirs[1], names_path,
+            input_size=cfg.input_size, aug=cfg.aug, enable_aug=True,
+        )
+        self.num_class = self.train_dataset.num_class
+        self.val_dataset = None
+        if val_dirs is not None:
+            self.val_dataset = DetectionDataset(
+                val_dirs[0], val_dirs[1], names_path,
+                input_size=cfg.input_size, aug=cfg.aug, enable_aug=False,
+            )
+
+        self.mesh = make_mesh()
+        self.n_devices = len(self.mesh.devices.ravel())
+        assert cfg.batch_size % self.n_devices == 0, (
+            f"global batch {cfg.batch_size} must divide over "
+            f"{self.n_devices} devices"
+        )
+
+        self.train_loader = DataLoader(
+            self.train_dataset,
+            batch_size=cfg.batch_size * cfg.accumulate,
+            max_labels=cfg.max_labels,
+            seed=cfg.seed,
+            rank=jax.process_index(),
+            world_size=jax.process_count(),
+            workers=cfg.num_workers,
+        )
+        self.steps_per_epoch = max(
+            len(self.train_dataset) // (cfg.batch_size * cfg.accumulate), 1
+        )
+        # rebuild optim config with the real steps_per_epoch
+        cfg.optim = type(cfg.optim)(
+            **{**cfg.optim.__dict__, "steps_per_epoch": self.steps_per_epoch}
+        )
+
+        self.model = create_model(
+            model_name or cfg.model, num_class=self.num_class,
+            dtype=compute_dtype,
+        )
+        tx_params = self.model.init(
+            jax.random.PRNGKey(cfg.seed),
+            jnp.zeros((1, *cfg.input_size, 3)),
+            train=False,
+        )["params"]
+        self.tx = build_optimizer(cfg.optim, tx_params)
+        self.state = create_train_state(
+            self.model, self.tx, jax.random.PRNGKey(cfg.seed),
+            (1, *cfg.input_size, 3),
+        )
+        self.state = replicate_state(self.state, self.mesh)
+        self.anchors = jnp.asarray(YOLOV5_ANCHORS)
+        self.train_step = make_train_step(
+            cfg.loss, self.anchors, accumulate=cfg.accumulate,
+            do_ema=cfg.do_ema, compute_dtype=compute_dtype,
+        )
+        self.batch_shard = batch_sharding(self.mesh)
+        self.meters = MeterBuffer()
+        self.evaluator = Evaluator(
+            self.model.apply, lambda p: decode_yolov5(p, self.anchors), cfg.eval
+        )
+        self.start_epoch = 0
+        self.ckpt_dir = Path(cfg.output_dir) / "checkpoints"
+
+    # ------------------------------------------------------------------ io
+    def save(self, step: int):
+        if jax.process_index() == 0:
+            save_checkpoint(self.ckpt_dir, self.state, step, hyp=self.cfg.hyp)
+
+    def load(self):
+        self.state, step = restore_checkpoint(self.ckpt_dir, self.state)
+        if step is not None:
+            self.start_epoch = int(step) // self.steps_per_epoch
+            self.log(f"resumed from step {step} (epoch {self.start_epoch})")
+
+    # --------------------------------------------------------------- train
+    def _device_batch(self, batch):
+        return {
+            "img": jax.device_put(batch["img"], self.batch_shard),
+            "ann": jax.device_put(batch["ann"], self.batch_shard),
+        }
+
+    def train(self, epochs: int | None = None, eval_fn=None):
+        cfg = self.cfg
+        total = epochs or cfg.total_epochs
+        aug_closed = False
+        for epoch in range(self.start_epoch, total):
+            if (
+                not aug_closed
+                and cfg.no_aug_epochs > 0
+                and epoch >= total - cfg.no_aug_epochs
+            ):
+                self.train_loader.close_data_aug()
+                aug_closed = True
+                self.log("data augmentation closed for final epochs")
+                self.save(epoch * self.steps_per_epoch)
+
+            t_epoch = time.time()
+            for it in range(self.steps_per_epoch):
+                t0 = time.time()
+                batch = self._device_batch(next(self.train_loader))
+                t_data = time.time() - t0
+                self.state, metrics = self.train_step(self.state, batch)
+                metrics = {k: float(v) for k, v in metrics.items()}
+                self.meters.update(
+                    data_time=t_data,
+                    iter_time=time.time() - t0,
+                    **metrics,
+                )
+            step = int(self.state.step)
+            self.log(
+                f"epoch {epoch + 1}/{total} "
+                f"loss {self.meters['tot_loss'].avg:.3f} "
+                f"(iou {self.meters['iou_loss'].avg:.3f} "
+                f"cof {self.meters['cof_loss'].avg:.3f} "
+                f"cls {self.meters['cls_loss'].avg:.3f}) "
+                f"targets {self.meters['tar_nums'].avg:.0f} "
+                f"{time.time() - t_epoch:.1f}s"
+            )
+            if (epoch + 1) % cfg.save_every == 0:
+                self.save(step)
+            if eval_fn is not None and (epoch + 1) % cfg.val_every == 0:
+                eval_fn(self)
+        return self.state
+
+    # ---------------------------------------------------------------- eval
+    def eval_variables(self):
+        """EMA weights if tracked, else live weights (train_yolov5.py:688-693)."""
+        if self.cfg.do_ema:
+            return {
+                "params": self.state.ema_params,
+                "batch_stats": self.state.ema_batch_stats,
+            }
+        return {"params": self.state.params, "batch_stats": self.state.batch_stats}
+
+    def evaluate(self, max_batches: int | None = None) -> dict:
+        """mAP over the val set with reference thresholds (val protocol)."""
+        assert self.val_dataset is not None, "no val dirs configured"
+        loader = DataLoader(
+            self.val_dataset, batch_size=self.cfg.batch_size,
+            max_labels=self.cfg.max_labels, workers=self.cfg.num_workers,
+            shuffle=False, infinite=False, enable_aug=False,
+        )
+        variables = self.eval_variables()
+        metrics = DetectionMetrics()
+        try:
+            for bi, batch in enumerate(loader):
+                if max_batches is not None and bi >= max_batches:
+                    break
+                dets = self.evaluator(variables, batch["img"])
+                preds = Evaluator.to_host_detections(dets, batch["info"])
+                anns = batch["ann"]
+                for i in range(len(preds)):
+                    valid = anns[i][:, 4] >= 0
+                    gt = anns[i][valid]
+                    # un-letterbox gt like preds_postprocess (train_yolov5.py:631-647)
+                    scale, pl, pt, ow, oh = batch["info"][i]
+                    g = np.zeros((valid.sum(), 5), dtype=np.float64)
+                    g[:, 0] = ((gt[:, 0] - pl) / scale).clip(0, ow)
+                    g[:, 1] = ((gt[:, 1] - pt) / scale).clip(0, oh)
+                    g[:, 2] = ((gt[:, 2] - pl) / scale).clip(0, ow)
+                    g[:, 3] = ((gt[:, 3] - pt) / scale).clip(0, oh)
+                    g[:, 4] = gt[:, 4]
+                    metrics.add_image(g, preds[i])
+        finally:
+            loader.stop()
+        out = metrics.compute()
+        self.log(
+            f"mAP {out['map']:.4f} mAP50 {out['map50']:.4f} "
+            f"P {out['mp']:.4f} R {out['mr']:.4f}"
+        )
+        return out
