@@ -10,6 +10,10 @@ plugin disabled — see tests/test_sharding.py::run_in_clean_subprocess.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# persistent compilation cache: reruns skip the (slow) CPU XLA compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import numpy as np
 import pytest
@@ -29,6 +33,8 @@ def run_in_clean_subprocess(code: str, n_devices: int = 8, timeout: int = 560):
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""  # sitecustomize skips axon registration
     env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={n_devices}"

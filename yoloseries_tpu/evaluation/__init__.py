@@ -1,3 +1,5 @@
 from .yolov5 import EvalConfig, Evaluator, decode_yolov5, scale_and_pad
 from .yolox import decode_yolox
 from .retinanet import decode_retinanet
+from .yolov8 import decode_yolov8
+from .fcos import decode_fcos

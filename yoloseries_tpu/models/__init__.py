@@ -1,6 +1,9 @@
 from .registry import available_models, create_model, register
-from .yolov5 import CSPTrunk, YOLOV5_SIZES, YOLOv5, YOLOv5Spec
+from .fcos import FCOS, FCOSCSPNet
 from .retinanet import ResNetBackbone, RetinaNet
+from .yolov5 import CSPTrunk, YOLOV5_SIZES, YOLOv5, YOLOv5Spec
+from .yolov7 import YOLOv7
+from .yolov8 import YOLOv8
 from .yolox import YOLOX, YOLOX_SIZES, YOLOXDarknet
 
 
@@ -46,6 +49,30 @@ def _register_retinanet():
     )
 
 
+def _register_yolov7():
+    register("yolov7")(lambda num_class, **kw: YOLOv7(num_class=num_class, **kw))
+
+
+def _register_yolov8():
+    register("yolov8")(lambda num_class, **kw: YOLOv8(num_class=num_class, **kw))
+    for name, scale in (("yolov8n", 0.34), ("yolov8s", 0.5), ("yolov8m", 1.0)):
+        register(name)(
+            lambda num_class, _s=scale, **kw: YOLOv8(
+                num_class=num_class, scale=_s, **kw
+            )
+        )
+
+
+def _register_fcos():
+    register("fcos")(lambda num_class, **kw: FCOS(num_class=num_class, **kw))
+    register("fcos_cspnet")(
+        lambda num_class, **kw: FCOSCSPNet(num_class=num_class, **kw)
+    )
+
+
 _register_yolov5()
+_register_yolov7()
+_register_yolov8()
 _register_yolox()
 _register_retinanet()
+_register_fcos()

@@ -23,3 +23,4 @@ from .nms import (
     select_topk_candidates,
     soft_nms,
 )
+from .wbf import weighted_boxes_fusion

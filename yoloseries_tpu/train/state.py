@@ -40,10 +40,13 @@ class TrainState(struct.PyTreeNode):
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
 
 
-def create_train_state(model, tx, rng, input_shape, num_stages: int = 3) -> TrainState:
+def create_train_state(model, tx, rng, input_shape, num_stages: int = 3,
+                       balances=None) -> TrainState:
     variables = model.init(rng, jnp.zeros(input_shape, jnp.float32), train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    if balances is None:
+        balances = initial_balances(num_stages)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -52,15 +55,15 @@ def create_train_state(model, tx, rng, input_shape, num_stages: int = 3) -> Trai
         ema_params=jax.tree.map(jnp.copy, params),
         ema_batch_stats=jax.tree.map(jnp.copy, batch_stats),
         ema_count=jnp.zeros((), jnp.float32),
-        balances=initial_balances(num_stages),
+        balances=jnp.asarray(balances),
         apply_fn=model.apply,
         tx=tx,
     )
 
 
 def make_train_step(
-    loss_cfg: YOLOv5LossConfig,
-    anchors,
+    loss,
+    anchors=None,
     accumulate: int = 1,
     do_ema: bool = True,
     compute_dtype=jnp.float32,
@@ -68,12 +71,23 @@ def make_train_step(
 ):
     """Build the jitted train step.
 
+    ``loss`` is either a family loss closure
+    ``loss_fn(preds, targets, balances) -> (loss_dict, new_balances)``
+    or (back-compat) a YOLOv5LossConfig paired with ``anchors``.
+
     The returned fn takes (state, batch) where batch = {'img': uint8
     (k*B, H, W, 3), 'ann': f32 (k*B, M, 6)} with k = ``accumulate``
     microbatches stacked along the batch axis, and returns
     (new_state, metrics).
     """
-    anchors = jnp.asarray(anchors)
+    if isinstance(loss, YOLOv5LossConfig):
+        cfg = loss
+        anchors_arr = jnp.asarray(anchors)
+
+        def family_loss(preds, targets, balances):
+            return yolov5_loss(preds, targets, anchors_arr, balances, cfg)
+    else:
+        family_loss = loss
 
     def loss_fn(params, batch_stats, balances, img_u8, ann, apply_fn):
         img = img_u8.astype(compute_dtype) / jnp.asarray(255.0, compute_dtype)
@@ -83,7 +97,7 @@ def make_train_step(
             train=True,
             mutable=["batch_stats"],
         )
-        loss_dict, new_balances = yolov5_loss(preds, ann, anchors, balances, loss_cfg)
+        loss_dict, new_balances = family_loss(preds, ann, balances)
         aux = (mutated["batch_stats"], new_balances, loss_dict)
         return loss_dict["tot_loss"], aux
 

@@ -28,9 +28,9 @@ if TYPE_CHECKING:  # avoid circular import (configs builds typed sub-configs)
 
 from ..data.dataset import DetectionDataset
 from ..data.loader import DataLoader
-from ..evaluation.yolov5 import Evaluator, decode_yolov5
+from ..evaluation.yolov5 import Evaluator
+from ..families import get_family
 from ..models import create_model
-from ..ops.anchors import YOLOV5_ANCHORS
 from ..ops.metrics import DetectionMetrics
 from ..parallel.mesh import batch_sharding, make_mesh, replicate_state
 from ..utils.meters import MeterBuffer
@@ -91,9 +91,9 @@ class Trainer:
             **{**cfg.optim.__dict__, "steps_per_epoch": self.steps_per_epoch}
         )
 
+        resolved_name = model_name or cfg.model
         self.model = create_model(
-            model_name or cfg.model, num_class=self.num_class,
-            dtype=compute_dtype,
+            resolved_name, num_class=self.num_class, dtype=compute_dtype,
         )
         tx_params = self.model.init(
             jax.random.PRNGKey(cfg.seed),
@@ -101,21 +101,26 @@ class Trainer:
             train=False,
         )["params"]
         self.tx = build_optimizer(cfg.optim, tx_params)
+
+        # family adapter: loss closure + decode closure for this model
+        family = get_family(resolved_name)
+        loss_fn, balances0 = family.make_loss(
+            cfg.hyp, self.num_class, cfg.input_size
+        )
+        decode_fn = family.make_decode(cfg.hyp, self.num_class, cfg.input_size)
+
         self.state = create_train_state(
             self.model, self.tx, jax.random.PRNGKey(cfg.seed),
-            (1, *cfg.input_size, 3),
+            (1, *cfg.input_size, 3), balances=balances0,
         )
         self.state = replicate_state(self.state, self.mesh)
-        self.anchors = jnp.asarray(YOLOV5_ANCHORS)
         self.train_step = make_train_step(
-            cfg.loss, self.anchors, accumulate=cfg.accumulate,
+            loss_fn, accumulate=cfg.accumulate,
             do_ema=cfg.do_ema, compute_dtype=compute_dtype,
         )
         self.batch_shard = batch_sharding(self.mesh)
         self.meters = MeterBuffer()
-        self.evaluator = Evaluator(
-            self.model.apply, lambda p: decode_yolov5(p, self.anchors), cfg.eval
-        )
+        self.evaluator = Evaluator(self.model.apply, decode_fn, cfg.eval)
         self.start_epoch = 0
         self.ckpt_dir = Path(cfg.output_dir) / "checkpoints"
 
@@ -165,12 +170,14 @@ class Trainer:
                     **metrics,
                 )
             step = int(self.state.step)
+            parts = " ".join(
+                f"{k.replace('_loss', '')} {self.meters[k].avg:.3f}"
+                for k in sorted(metrics)
+                if k.endswith("_loss") and k != "tot_loss"
+            )
             self.log(
                 f"epoch {epoch + 1}/{total} "
-                f"loss {self.meters['tot_loss'].avg:.3f} "
-                f"(iou {self.meters['iou_loss'].avg:.3f} "
-                f"cof {self.meters['cof_loss'].avg:.3f} "
-                f"cls {self.meters['cls_loss'].avg:.3f}) "
+                f"loss {self.meters['tot_loss'].avg:.3f} ({parts}) "
                 f"targets {self.meters['tar_nums'].avg:.0f} "
                 f"{time.time() - t_epoch:.1f}s"
             )
