@@ -76,6 +76,8 @@ class EvalConfig:
     tta_scales: tuple = (1.0, 0.83, 0.67)
     # flip axis per TTA branch: None / 1 (H, flip-up-down) / 2 (W, flip-lr)
     tta_flips: tuple = (None, 1, 2)
+    # None = auto: Pallas greedy-NMS kernel on TPU, XLA scan elsewhere
+    use_pallas_nms: bool | None = None
 
 
 class Evaluator:
@@ -117,8 +119,11 @@ class Evaluator:
             preds = self._infer_tta(variables, img)
         else:
             preds = self._infer(variables, img)
-        post = partial(
-            postprocess_detections,
+        use_pallas = self.cfg.use_pallas_nms
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        return postprocess_detections(
+            preds,
             conf_threshold=self.cfg.conf_threshold,
             cls_threshold=self.cfg.cls_threshold,
             iou_threshold=self.cfg.iou_threshold,
@@ -126,8 +131,8 @@ class Evaluator:
             max_keep=self.cfg.max_keep,
             class_aware=self.cfg.class_aware,
             merge_boxes=self.cfg.merge_boxes,
+            use_pallas=use_pallas,
         )
-        return jax.vmap(post)(preds)
 
     def __call__(self, variables, img) -> jnp.ndarray:
         """img: (B, H, W, 3) uint8 or float in [0, 255] (uint8) / [0, 1].

@@ -136,6 +136,7 @@ def select_topk_candidates(boxes, scores, classes, k):
     jax.jit,
     static_argnames=(
         "num_candidates", "max_keep", "class_aware", "merge_boxes",
+        "use_pallas",
     ),
 )
 def postprocess_detections(
@@ -147,46 +148,67 @@ def postprocess_detections(
     max_keep=300,
     class_aware=True,
     merge_boxes=True,
+    use_pallas=False,
 ):
-    """Full single-image postprocess: (N, 5+nc) decoded preds -> (max_keep, 6).
+    """Full postprocess: (N, 5+nc) or (B, N, 5+nc) decoded preds ->
+    (..., max_keep, 6).
 
     ``pred`` rows are [cx, cy, w, h, obj, c1..cnc] with obj/cls already
     sigmoided, in input-image pixels (the output of the evaluator decode).
     Output rows are [xmin, ymin, xmax, ymax, conf, cls_id]; invalid slots have
-    conf 0. Use jax.vmap for a batch.
+    conf 0. Batched input is handled natively (one Pallas NMS launch covers
+    the whole batch when ``use_pallas``).
 
     Follows YOLOV5Evaluator.numba_nms (trainer/eval_yolov5.py:261-317):
     single-label mode (mutil_label: false), conf = obj * cls_conf, class-aware
     offset, greedy NMS, optional IoU-weighted box merge that drops keepers
     with < 2 supporters.
     """
-    obj = pred[:, 4]
-    cls_probs = pred[:, 5:] * obj[:, None]
+    single = pred.ndim == 2
+    if single:
+        pred = pred[None]
+
+    obj = pred[..., 4]
+    cls_probs = pred[..., 5:] * obj[..., None]
     cls_conf = jnp.max(cls_probs, axis=-1)
     cls_id = jnp.argmax(cls_probs, axis=-1).astype(jnp.float32)
 
     valid = (obj >= conf_threshold) & (cls_conf > cls_threshold)
-    score = jnp.where(valid, cls_conf, 0.0)
+    score = jnp.where(valid, cls_conf, 0.0)  # (B, N)
 
-    half = pred[:, 2:4] * 0.5
-    boxes = jnp.concatenate([pred[:, 0:2] - half, pred[:, 0:2] + half], axis=-1)
+    half = pred[..., 2:4] * 0.5
+    boxes = jnp.concatenate(
+        [pred[..., 0:2] - half, pred[..., 0:2] + half], axis=-1
+    )  # (B, N, 4)
 
-    boxes_k, score_k, cls_k = select_topk_candidates(
-        boxes, score, cls_id, num_candidates
-    )
+    k = min(num_candidates, score.shape[-1])
+    score_k, idx = jax.lax.top_k(score, k)  # (B, K)
+    boxes_k = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    cls_k = jnp.take_along_axis(cls_id, idx, axis=1)
 
     if class_aware:
         offset = cls_k * CLASS_OFFSET
     else:
         offset = jnp.zeros_like(cls_k)
-    boxes_off = boxes_k + offset[:, None]
+    boxes_off = boxes_k + offset[..., None]
 
-    keep_idx, keep_valid = greedy_nms(boxes_off, score_k, iou_threshold, max_keep)
-    safe_idx = jnp.maximum(keep_idx, 0)
+    if use_pallas:
+        from ..kernels.nms_pallas import pallas_greedy_nms
 
-    out_boxes = boxes_k[safe_idx]
-    out_scores = jnp.where(keep_valid, score_k[safe_idx], 0.0)
-    out_cls = cls_k[safe_idx]
+        keep_idx, keep_valid = pallas_greedy_nms(
+            boxes_off, score_k, iou_threshold, max_keep=max_keep
+        )
+    else:
+        keep_idx, keep_valid = jax.vmap(
+            lambda bb, ss: greedy_nms(bb, ss, iou_threshold, max_keep)
+        )(boxes_off, score_k)
+    safe_idx = jnp.maximum(keep_idx, 0)  # (B, max_keep)
+
+    out_boxes = jnp.take_along_axis(boxes_k, safe_idx[..., None], axis=1)
+    out_scores = jnp.where(
+        keep_valid, jnp.take_along_axis(score_k, safe_idx, axis=1), 0.0
+    )
+    out_cls = jnp.take_along_axis(cls_k, safe_idx, axis=1)
 
     if merge_boxes:
         # "postprocess_bbox" refinement (trainer/eval_yolov5.py:306-315): count
@@ -196,12 +218,13 @@ def postprocess_detections(
         # so only the supporter-count filter is live behavior — replicated
         # here. (Reference also gates on 1 < bbox_num < 3000; with static
         # shapes we apply the filter unconditionally.)
-        kept_off = boxes_off[safe_idx]
-        iou_km = pairwise_iou(kept_off, boxes_off)  # (max_keep, K)
-        support = (iou_km > iou_threshold) & (score_k[None, :] > 0.0)
-        n_support = jnp.sum(support, axis=1)
+        kept_off = jnp.take_along_axis(boxes_off, safe_idx[..., None], axis=1)
+        iou_km = pairwise_iou(kept_off, boxes_off)  # (B, max_keep, K)
+        support = (iou_km > iou_threshold) & (score_k[:, None, :] > 0.0)
+        n_support = jnp.sum(support, axis=-1)
         out_scores = jnp.where(n_support > 1, out_scores, 0.0)
 
-    return jnp.concatenate(
-        [out_boxes, out_scores[:, None], out_cls[:, None]], axis=-1
+    out = jnp.concatenate(
+        [out_boxes, out_scores[..., None], out_cls[..., None]], axis=-1
     )
+    return out[0] if single else out
