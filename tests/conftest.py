@@ -1,19 +1,28 @@
-"""Test configuration: CPU-only JAX for speed/determinism.
+"""Test configuration.
 
-Multi-device (8 fake CPU devices) tests cannot run inside this process: the
-machine's sitecustomize (axon TPU plugin) initializes the XLA runtime at
-interpreter startup, locking the CPU device count before XLA_FLAGS can take
-effect. Sharding tests therefore run their body in a subprocess with the
-plugin disabled — see tests/test_sharding.py::run_in_clean_subprocess.
+Reality check on this machine: the axon TPU plugin registers itself from
+sitecustomize at interpreter startup and PINS the platform — setting
+JAX_PLATFORMS=cpu afterwards (including here) has no effect. The test
+suite therefore runs on the single real TPU chip through the relay.
+Consequences handled here:
+
+* TPU's default conv/matmul precision is bf16 — golden numeric tests need
+  f32, so default matmul precision is forced to 'highest',
+* anything needing MULTIPLE devices cannot run in-process (one chip);
+  sharding tests spawn a subprocess with the plugin disabled and 8 fake
+  CPU devices (`run_in_clean_subprocess`).
 """
 
 import os
 
+# honored only when the axon plugin is absent (e.g. clean subprocesses)
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# persistent compilation cache: reruns skip the (slow) CPU XLA compiles
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax
+
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np
 import pytest

@@ -93,3 +93,19 @@ def test_evaluator_tta_shapes():
     dets = np.asarray(ev({}, np.zeros((1, size, size, 3), dtype=np.uint8)))
     assert dets.shape == (1, 10, 6)
     assert (dets[0][:, 4] > 0).sum() >= 1
+
+
+def test_evaluator_wbf_tta():
+    size, nc = 64, 3
+    apply_fn = _toy_apply((24, 40), planted_cls=1, nc=nc, size=size)
+    cfg = EvalConfig(conf_threshold=0.3, cls_threshold=0.25, iou_threshold=0.5,
+                     num_candidates=64, max_keep=10, merge_boxes=False,
+                     use_tta=True, tta_scales=(1.0, 0.5), tta_flips=(None, 2),
+                     use_wbf=True)
+    ev = Evaluator(apply_fn, lambda p: decode_yolov5(p, ANCHORS), cfg)
+    outs = ev.detect_wbf({}, np.zeros((2, size, size, 3), dtype=np.uint8))
+    assert len(outs) == 2
+    assert outs[0] is not None and outs[0].shape[1] == 6
+    # fused box stays near the planted center (28, 44)
+    cx = (outs[0][0, 0] + outs[0][0, 2]) / 2
+    assert abs(cx - 28) < 3

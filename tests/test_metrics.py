@@ -95,3 +95,24 @@ def test_map_false_positives_reduce_precision():
         clean.add_image(gt, good)
         noisy.add_image(gt, np.concatenate([good, fps], axis=0))
     assert noisy.compute()["map50"] < clean.compute()["map50"]
+
+
+def test_confusion_matrix():
+    from yoloseries_tpu.ops import ConfusionMatrix
+
+    cm = ConfusionMatrix(num_class=3, conf_thres=0.25, iou_thres=0.45)
+    gt = np.array([[0, 0, 100, 100, 1], [200, 200, 300, 300, 2]])
+    pred = np.array([
+        [0, 0, 100, 100, 0.9, 1],      # correct class 1
+        [205, 205, 300, 300, 0.8, 0],  # class confusion: gt 2 predicted as 0
+        [400, 400, 450, 450, 0.9, 2],  # false positive
+        [0, 0, 50, 50, 0.1, 1],        # below conf -> ignored
+    ])
+    cm.add_image(gt, pred)
+    assert cm.matrix[1, 1] == 1  # true positive class 1
+    assert cm.matrix[0, 2] == 1  # gt 2 confused as 0
+    assert cm.matrix[2, 3] == 1  # false positive (background col)
+    # missed gt counted when nothing matches
+    cm2 = ConfusionMatrix(num_class=3)
+    cm2.add_image(gt, None)
+    assert cm2.matrix[3, 1] == 1 and cm2.matrix[3, 2] == 1

@@ -59,8 +59,8 @@ def test_train_mode_updates_batch_stats():
     _, updates = m.apply(
         variables, x, train=True, mutable=["batch_stats"]
     )
-    old = variables["batch_stats"]["stem"]["bn"]["mean"]
-    new = updates["batch_stats"]["stem"]["bn"]["mean"]
+    old = variables["batch_stats"]["trunk"]["stem"]["bn"]["mean"]
+    new = updates["batch_stats"]["trunk"]["stem"]["bn"]["mean"]
     assert not np.allclose(np.asarray(old), np.asarray(new))
 
 

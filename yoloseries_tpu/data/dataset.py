@@ -55,6 +55,8 @@ class DetectionDataset:
         input_size=(640, 640),
         aug: AugmentConfig | None = None,
         enable_aug: bool = True,
+        cache_images: bool = False,
+        cache_dir=None,
     ):
         self.img_dir = Path(img_dir)
         self.lab_dir = Path(lab_dir)
@@ -82,6 +84,15 @@ class DetectionDataset:
         else:
             self.cls2name = {}
         self._num_class = None
+
+        # optional np.memmap cache of min-scale-resized images
+        # (dataset/datasets.py:277-322 _cache_image). When active, pull_item
+        # serves the resized image with boxes scaled accordingly — matching
+        # the reference's cached-path numerics.
+        self._cache = None
+        self._cache_shapes = None
+        if cache_images:
+            self._build_cache(cache_dir)
 
     def __len__(self):
         return len(self.img_files)
@@ -116,11 +127,56 @@ class DetectionDataset:
         whs = ann[:, [3, 4]] - ann[:, [1, 2]]
         return ann[np.all(whs >= 1, axis=1)]
 
+    def _build_cache(self, cache_dir):
+        import cv2
+        from concurrent.futures import ThreadPoolExecutor
+
+        h, w = self.input_size
+        cache_dir = Path(cache_dir) if cache_dir else self.img_dir.parent
+        cache_file = cache_dir / (
+            f"img_{self.img_dir.name}_cache_h{h}_w{w}_{len(self)}.array"
+        )
+        fresh = not cache_file.exists()
+        self._cache = np.memmap(
+            cache_file, shape=(len(self), h, w, 3), dtype=np.uint8,
+            mode="w+" if fresh else "r+",
+        )
+        self._cache_shapes = np.zeros((len(self), 2), dtype=np.int32)
+
+        def resize_one(i):
+            img = self.load_img(i)
+            r = min(h / img.shape[0], w / img.shape[1])
+            rh, rw = int(img.shape[0] * r), int(img.shape[1] * r)
+            self._cache_shapes[i] = (rh, rw)
+            if fresh:
+                out = cv2.resize(img, (rw, rh), interpolation=cv2.INTER_LINEAR)
+                self._cache[i, :rh, :rw] = out
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(resize_one, range(len(self))))
+        if fresh:
+            self._cache.flush()
+
     def pull_item(self, idx: int):
-        """Raw (img, boxes (N,4) xyxy, classes (N,))."""
-        img = self.load_img(idx)
+        """Raw (img, boxes (N,4) xyxy, classes (N,)). With the image cache
+        active, the min-scale-resized image is served and boxes are scaled
+        to match (reference cached-path semantics)."""
         ann = self.load_annotations(idx)
-        return img, ann[:, 1:5].copy(), ann[:, 0].copy()
+        boxes, classes = ann[:, 1:5].copy(), ann[:, 0].copy()
+        if self._cache is not None:
+            rh, rw = self._cache_shapes[idx]
+            img = np.asarray(self._cache[idx, :rh, :rw])
+            # boxes scale by the cached resize ratio r = min(h/H, w/W);
+            # the original size comes from a cheap PIL header read
+            from PIL import Image as _Image
+
+            h, w = self.input_size
+            with _Image.open(self.img_files[idx]) as im:
+                W, H = im.size
+            boxes = boxes * min(h / H, w / W)
+            return img, boxes, classes
+        img = self.load_img(idx)
+        return img, boxes, classes
 
     def _mosaic(self, idx: int, rng: np.random.Generator):
         indices = [idx] + [int(rng.integers(0, len(self))) for _ in range(3)]

@@ -118,8 +118,18 @@ class DataLoader:
         self._device_put = device_put
         self._stop = threading.Event()
         self._sample_counter = 0
+        # mutable per-batch letterbox size (multi-scale training,
+        # train_yolov5.py:526-544 — bucketed static sizes under jit)
+        self._input_size = tuple(dataset.input_size)
         self._producer = threading.Thread(target=self._produce, daemon=True)
         self._producer.start()
+
+    def set_input_size(self, size):
+        """Change the collate letterbox size for subsequently produced
+        batches (each distinct size compiles its own train step)."""
+        if isinstance(size, int):
+            size = (size, size)
+        self._input_size = tuple(size)
 
     def __len__(self):
         """Batches per epoch (drop_last semantics)."""
@@ -153,7 +163,7 @@ class DataLoader:
             samples = list(self._pool.map(self._load_one, chunk, ids))
             batch = collate_batch(
                 samples,
-                self.dataset.input_size,
+                self._input_size,
                 self.max_labels,
                 fill_value=self.dataset.aug.fill_value,
             )

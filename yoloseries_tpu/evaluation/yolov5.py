@@ -78,6 +78,13 @@ class EvalConfig:
     tta_flips: tuple = (None, 1, 2)
     # None = auto: Pallas greedy-NMS kernel on TPU, XLA scan elsewhere
     use_pallas_nms: bool | None = None
+    multi_label: bool = False  # the reference's `mutil_label`
+    nms_mode: str = "greedy"  # 'greedy' | 'soft_linear' | 'soft_exp'
+    # Weighted Boxes Fusion over the independent TTA branches instead of NMS
+    # on the merged set (`wfb: true`, trainer/eval_yolov5.py:37-39, 44-92)
+    use_wbf: bool = False
+    wbf_iou_threshold: float = 0.5
+    wbf_weights: tuple | None = None
 
 
 class Evaluator:
@@ -92,6 +99,7 @@ class Evaluator:
         self.decode_fn = decode_fn
         self.cfg = cfg
         self._jitted = jax.jit(self._run)
+        self._jitted_branches = jax.jit(self._run_tta_branches)
 
     def _infer(self, variables, img):
         preds = self.apply_fn(variables, img, train=False)
@@ -113,12 +121,7 @@ class Evaluator:
             merged.append(p)
         return jnp.concatenate(merged, axis=1)
 
-    def _run(self, variables, img):
-        img = img.astype(jnp.float32)
-        if self.cfg.use_tta:
-            preds = self._infer_tta(variables, img)
-        else:
-            preds = self._infer(variables, img)
+    def _post(self, preds):
         use_pallas = self.cfg.use_pallas_nms
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
@@ -132,7 +135,35 @@ class Evaluator:
             class_aware=self.cfg.class_aware,
             merge_boxes=self.cfg.merge_boxes,
             use_pallas=use_pallas,
+            multi_label=self.cfg.multi_label,
+            nms_mode=self.cfg.nms_mode,
         )
+
+    def _run(self, variables, img):
+        img = img.astype(jnp.float32)
+        if self.cfg.use_tta:
+            preds = self._infer_tta(variables, img)
+        else:
+            preds = self._infer(variables, img)
+        return self._post(preds)
+
+    def _run_tta_branches(self, variables, img):
+        """Independent per-branch detections for WBF (no merged NMS):
+        returns (n_branches, B, max_keep, 6)."""
+        img = img.astype(jnp.float32)
+        b, img_h, img_w, _ = img.shape
+        outs = []
+        for s, f in zip(self.cfg.tta_scales, self.cfg.tta_flips):
+            x = jnp.flip(img, axis=f) if f is not None else img
+            x = scale_and_pad(x, s)
+            p = self._infer(variables, x)
+            p = p.at[..., 0:4].set(p[..., 0:4] / s)
+            if f == 1:
+                p = p.at[..., 1].set(img_h - p[..., 1])
+            if f == 2:
+                p = p.at[..., 0].set(img_w - p[..., 0])
+            outs.append(self._post(p))
+        return jnp.stack(outs)
 
     def __call__(self, variables, img) -> jnp.ndarray:
         """img: (B, H, W, 3) uint8 or float in [0, 255] (uint8) / [0, 1].
@@ -145,6 +176,30 @@ class Evaluator:
         if img.dtype == jnp.uint8:
             img = img.astype(jnp.float32) / 255.0
         return self._jitted(variables, img)
+
+    def detect_wbf(self, variables, img):
+        """TTA + Weighted Boxes Fusion: each TTA branch is postprocessed
+        independently on device, then fused per image on host
+        (trainer/eval_yolov5.py:44-92). Returns a list of per-image (n, 6)
+        arrays (letterboxed coords), None where nothing survives."""
+        from ..ops.wbf import weighted_boxes_fusion
+
+        img = jnp.asarray(img)
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) / 255.0
+        branches = np.asarray(self._jitted_branches(variables, img))
+        n_br, bsz = branches.shape[0], branches.shape[1]
+        weights = list(self.cfg.wbf_weights or [1.0] * n_br)
+        out = []
+        for i in range(bsz):
+            per_model = [
+                branches[m, i][branches[m, i][:, 4] > 0] for m in range(n_br)
+            ]
+            fused = weighted_boxes_fusion(
+                per_model, weights=weights, iou_thr=self.cfg.wbf_iou_threshold
+            )
+            out.append(fused if len(fused) else None)
+        return out
 
     @staticmethod
     def to_host_detections(dets, infos=None) -> list:

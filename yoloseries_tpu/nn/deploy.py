@@ -37,50 +37,53 @@ def _fold_one(kernel, bn_scale, bn_bias, bn_mean, bn_var, eps=1e-3):
 def fold_conv_bn(params, batch_stats, eps=1e-3):
     """Fold every {conv, bn} ConvBnAct-style pair in the tree.
 
-    Walks the params tree; wherever a module dict holds both a conv kernel
+    Walks the params tree; wherever a module dict holds both a 'conv' kernel
     and a sibling 'bn' (flax BatchNorm: scale/bias + batch_stats mean/var),
-    the stats are absorbed. Returns (new_params, new_batch_stats) where the
-    folded BNs are identity. Layers whose names don't follow the
-    ConvBnAct {conv, bn} convention are left untouched.
+    the running stats are absorbed into the conv kernel. Because ConvBnAct
+    convs carry no bias parameter (use_bias=False), the folded bias lands in
+    the BN affine instead: scale=1, bias=folded, mean=0, var=1-eps — i.e.
+    the BN degenerates to "+bias". Module definitions stay unchanged.
+
+    Returns (new_params, new_batch_stats). Layers that don't follow the
+    {conv, bn} naming convention are left untouched.
     """
 
     def walk(p, s):
         if not isinstance(p, dict):
-            return p
-        out = {}
+            return p, s
+        new_p = {}
+        new_s = dict(s) if isinstance(s, dict) else s
         for key, val in p.items():
-            out[key] = walk(val, s.get(key, {}) if isinstance(s, dict) else {})
-        conv = out.get("conv")
-        bn = out.get("bn")
-        stats = s.get("bn") if isinstance(s, dict) else None
+            sub_s = s.get(key, {}) if isinstance(s, dict) else {}
+            np_, ns_ = walk(val, sub_s)
+            new_p[key] = np_
+            if isinstance(new_s, dict) and key in new_s:
+                new_s[key] = ns_
+        conv = new_p.get("conv")
+        bn = new_p.get("bn")
+        stats = new_s.get("bn") if isinstance(new_s, dict) else None
         if (
-            isinstance(conv, dict) and "kernel" in conv
+            isinstance(conv, dict) and "kernel" in conv and "bias" not in conv
             and isinstance(bn, dict) and "scale" in bn
             and isinstance(stats, dict) and "mean" in stats
         ):
-            k, b = _fold_one(
+            kernel, bias = _fold_one(
                 conv["kernel"], bn["scale"], bn["bias"], stats["mean"],
                 stats["var"], eps,
             )
-            out["conv"] = {**conv, "kernel": k, "bias": conv.get("bias", 0) + b}
-            out["bn"] = {
+            new_p["conv"] = {**conv, "kernel": kernel}
+            new_p["bn"] = {
                 "scale": jnp.ones_like(bn["scale"]),
-                "bias": jnp.zeros_like(bn["bias"]),
+                "bias": bias,
             }
-            # identity stats
-            s["bn"]["mean"] = jnp.zeros_like(stats["mean"])
-            s["bn"]["var"] = jnp.ones_like(stats["var"]) - eps
-        return out
+            new_s["bn"] = {
+                "mean": jnp.zeros_like(stats["mean"]),
+                "var": jnp.ones_like(stats["var"]) - eps,
+            }
+        return new_p, new_s
 
-    import copy
-
-    new_stats = jax.tree.map(jnp.copy, batch_stats)
-    new_stats = jax.device_get(new_stats)
-    new_stats = jax.tree.map(jnp.asarray, new_stats)
-    # operate on plain nested dicts
-    p = jax.tree.map(lambda x: x, params)
-    new_params = walk(dict(p), dict(new_stats) if new_stats else {})
-    return new_params, new_stats
+    p_dict = jax.tree.map(lambda x: x, params)  # shallow copy leaves
+    return walk(dict(p_dict), dict(batch_stats) if batch_stats else {})
 
 
 def fold_repconv_params(rep_params, rep_stats, eps=1e-3):

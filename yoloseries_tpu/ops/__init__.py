@@ -16,7 +16,8 @@ from .letterbox import (
     letterbox_image,
     unletterbox_boxes_np,
 )
-from .metrics import DetectionMetrics, compute_ap, compute_tp, pairwise_iou_np
+from .kmeans_anchors import kmeans_anchors
+from .metrics import ConfusionMatrix, DetectionMetrics, compute_ap, compute_tp, pairwise_iou_np
 from .nms import (
     greedy_nms,
     postprocess_detections,

@@ -174,6 +174,87 @@ class DetectionMetrics:
         }
 
 
+class ConfusionMatrix:
+    """Detection confusion matrix (utils/mAP.py:279-365 rebuild).
+
+    (num_class + 1) square matrix; the extra row/col is background
+    (missed gt / spurious prediction). Predictions below ``conf_thres`` are
+    dropped; matches require IoU >= ``iou_thres`` with greedy one-to-one
+    resolution like compute_tp.
+    """
+
+    def __init__(self, num_class: int, conf_thres: float = 0.25,
+                 iou_thres: float = 0.45):
+        self.nc = num_class
+        self.conf_thres = conf_thres
+        self.iou_thres = iou_thres
+        self.matrix = np.zeros((num_class + 1, num_class + 1), dtype=np.int64)
+
+    def add_image(self, gt, pred):
+        """gt (N, 5) [x1,y1,x2,y2,cls]; pred (M, 6) [x1,y1,x2,y2,conf,cls]."""
+        gt = np.asarray(gt, np.float64) if gt is not None else np.zeros((0, 5))
+        pred = (
+            np.asarray(pred, np.float64) if pred is not None else np.zeros((0, 6))
+        )
+        if len(pred):
+            pred = pred[pred[:, 4] >= self.conf_thres]
+
+        if len(gt) == 0:
+            for p in pred:
+                self.matrix[int(p[5]), self.nc] += 1  # false positive
+            return
+        if len(pred) == 0:
+            for g in gt:
+                self.matrix[self.nc, int(g[4])] += 1  # missed
+            return
+
+        ious = pairwise_iou_np(gt[:, :4], pred[:, :4])
+        mask = ious >= self.iou_thres
+        gt_i, pred_i = np.nonzero(mask)
+        if len(gt_i):
+            match = np.stack([gt_i, pred_i, ious[mask]], axis=1)
+            if len(match) > 1:
+                match = match[match[:, 2].argsort()[::-1]]
+                match = match[np.unique(match[:, 1], return_index=True)[1]]
+                match = match[np.unique(match[:, 0], return_index=True)[1]]
+        else:
+            match = np.zeros((0, 3))
+
+        matched_gt = set(match[:, 0].astype(int)) if len(match) else set()
+        matched_pred = set(match[:, 1].astype(int)) if len(match) else set()
+        for gi, pi, _ in match:
+            self.matrix[int(pred[int(pi), 5]), int(gt[int(gi), 4])] += 1
+        for gi in range(len(gt)):
+            if gi not in matched_gt:
+                self.matrix[self.nc, int(gt[gi, 4])] += 1
+        for pi in range(len(pred)):
+            if pi not in matched_pred:
+                self.matrix[int(pred[pi, 5]), self.nc] += 1
+
+    def plot(self, save_path, names=None):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(10, 10))
+        ax.imshow(self.matrix, cmap="Blues")
+        labels = (names or [str(i) for i in range(self.nc)]) + ["background"]
+        ax.set_xticks(range(self.nc + 1))
+        ax.set_yticks(range(self.nc + 1))
+        ax.set_xticklabels(labels, rotation=90)
+        ax.set_yticklabels(labels)
+        ax.set_xlabel("ground truth")
+        ax.set_ylabel("prediction")
+        for i in range(self.nc + 1):
+            for j in range(self.nc + 1):
+                if self.matrix[i, j]:
+                    ax.text(j, i, str(self.matrix[i, j]), ha="center", va="center")
+        fig.tight_layout()
+        fig.savefig(str(save_path), dpi=150)
+        plt.close(fig)
+
+
 def plot_metrics(metrics: dict, save_dir, cls2lab=None):
     """Render the reference's P/R/F1/PR-curve and per-class AP plots
     (utils/mAP.py:155-161, 193-262) into ``save_dir``."""

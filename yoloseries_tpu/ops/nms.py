@@ -136,7 +136,7 @@ def select_topk_candidates(boxes, scores, classes, k):
     jax.jit,
     static_argnames=(
         "num_candidates", "max_keep", "class_aware", "merge_boxes",
-        "use_pallas",
+        "use_pallas", "multi_label", "nms_mode",
     ),
 )
 def postprocess_detections(
@@ -149,6 +149,8 @@ def postprocess_detections(
     class_aware=True,
     merge_boxes=True,
     use_pallas=False,
+    multi_label=False,
+    nms_mode="greedy",
 ):
     """Full postprocess: (N, 5+nc) or (B, N, 5+nc) decoded preds ->
     (..., max_keep, 6).
@@ -169,22 +171,34 @@ def postprocess_detections(
         pred = pred[None]
 
     obj = pred[..., 4]
-    cls_probs = pred[..., 5:] * obj[..., None]
-    cls_conf = jnp.max(cls_probs, axis=-1)
-    cls_id = jnp.argmax(cls_probs, axis=-1).astype(jnp.float32)
-
-    valid = (obj >= conf_threshold) & (cls_conf > cls_threshold)
-    score = jnp.where(valid, cls_conf, 0.0)  # (B, N)
+    cls_probs = pred[..., 5:] * obj[..., None]  # (B, N, nc)
 
     half = pred[..., 2:4] * 0.5
     boxes = jnp.concatenate(
         [pred[..., 0:2] - half, pred[..., 0:2] + half], axis=-1
     )  # (B, N, 4)
 
-    k = min(num_candidates, score.shape[-1])
-    score_k, idx = jax.lax.top_k(score, k)  # (B, K)
-    boxes_k = jnp.take_along_axis(boxes, idx[..., None], axis=1)
-    cls_k = jnp.take_along_axis(cls_id, idx, axis=1)
+    if multi_label:
+        # `mutil_label: true` (trainer/eval_yolov5.py:276-279): every
+        # (box, class) pair above threshold is its own candidate. Dense
+        # form: top-K over the flattened (N * nc) score matrix.
+        b, n, nc = cls_probs.shape
+        valid = (obj[..., None] >= conf_threshold) & (cls_probs >= cls_threshold)
+        flat = jnp.where(valid, cls_probs, 0.0).reshape(b, n * nc)
+        k = min(num_candidates, n * nc)
+        score_k, fidx = jax.lax.top_k(flat, k)
+        box_idx = fidx // nc
+        cls_k = (fidx % nc).astype(jnp.float32)
+        boxes_k = jnp.take_along_axis(boxes, box_idx[..., None], axis=1)
+    else:
+        cls_conf = jnp.max(cls_probs, axis=-1)
+        cls_id = jnp.argmax(cls_probs, axis=-1).astype(jnp.float32)
+        valid = (obj >= conf_threshold) & (cls_conf > cls_threshold)
+        score = jnp.where(valid, cls_conf, 0.0)  # (B, N)
+        k = min(num_candidates, score.shape[-1])
+        score_k, idx = jax.lax.top_k(score, k)  # (B, K)
+        boxes_k = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+        cls_k = jnp.take_along_axis(cls_id, idx, axis=1)
 
     if class_aware:
         offset = cls_k * CLASS_OFFSET
@@ -192,22 +206,34 @@ def postprocess_detections(
         offset = jnp.zeros_like(cls_k)
     boxes_off = boxes_k + offset[..., None]
 
-    if use_pallas:
-        from ..kernels.nms_pallas import pallas_greedy_nms
+    if nms_mode == "greedy":
+        if use_pallas:
+            from ..kernels.nms_pallas import pallas_greedy_nms
 
-        keep_idx, keep_valid = pallas_greedy_nms(
-            boxes_off, score_k, iou_threshold, max_keep=max_keep
-        )
-    else:
-        keep_idx, keep_valid = jax.vmap(
-            lambda bb, ss: greedy_nms(bb, ss, iou_threshold, max_keep)
+            keep_idx, keep_valid = pallas_greedy_nms(
+                boxes_off, score_k, iou_threshold, max_keep=max_keep
+            )
+        else:
+            keep_idx, keep_valid = jax.vmap(
+                lambda bb, ss: greedy_nms(bb, ss, iou_threshold, max_keep)
+            )(boxes_off, score_k)
+        keep_scores = None
+    elif nms_mode in ("soft_linear", "soft_exp"):
+        mode = "linear" if nms_mode == "soft_linear" else "exp"
+        keep_idx, keep_valid, keep_scores = jax.vmap(
+            lambda bb, ss: soft_nms(bb, ss, iou_threshold, max_keep, mode=mode)
         )(boxes_off, score_k)
+    else:
+        raise ValueError(f"unknown nms_mode {nms_mode}")
     safe_idx = jnp.maximum(keep_idx, 0)  # (B, max_keep)
 
     out_boxes = jnp.take_along_axis(boxes_k, safe_idx[..., None], axis=1)
-    out_scores = jnp.where(
-        keep_valid, jnp.take_along_axis(score_k, safe_idx, axis=1), 0.0
-    )
+    if keep_scores is None:
+        out_scores = jnp.where(
+            keep_valid, jnp.take_along_axis(score_k, safe_idx, axis=1), 0.0
+        )
+    else:
+        out_scores = jnp.where(keep_valid, keep_scores, 0.0)
     out_cls = jnp.take_along_axis(cls_k, safe_idx, axis=1)
 
     if merge_boxes:

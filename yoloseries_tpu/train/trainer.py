@@ -103,26 +103,65 @@ class Trainer:
         self.tx = build_optimizer(cfg.optim, tx_params)
 
         # family adapter: loss closure + decode closure for this model
-        family = get_family(resolved_name)
-        loss_fn, balances0 = family.make_loss(
+        self.family = get_family(resolved_name)
+        loss_fn, balances0 = self.family.make_loss(
             cfg.hyp, self.num_class, cfg.input_size
         )
-        decode_fn = family.make_decode(cfg.hyp, self.num_class, cfg.input_size)
+        decode_fn = self.family.make_decode(cfg.hyp, self.num_class, cfg.input_size)
 
         self.state = create_train_state(
             self.model, self.tx, jax.random.PRNGKey(cfg.seed),
             (1, *cfg.input_size, 3), balances=balances0,
         )
         self.state = replicate_state(self.state, self.mesh)
-        self.train_step = make_train_step(
-            loss_fn, accumulate=cfg.accumulate,
-            do_ema=cfg.do_ema, compute_dtype=compute_dtype,
-        )
+        self._compute_dtype = compute_dtype
+        self._step_fns = {
+            tuple(cfg.input_size): make_train_step(
+                loss_fn, accumulate=cfg.accumulate,
+                do_ema=cfg.do_ema, compute_dtype=compute_dtype,
+            )
+        }
+        # multi-scale training (train_yolov5.py:526-544): a bucketed set of
+        # static sizes, each with its own loss closure + compiled step
+        self.multi_scale_sizes = []
+        if cfg.hyp.get("mutil_scale_training") or cfg.hyp.get("multi_scale_training"):
+            base = cfg.input_size[0]
+            self.multi_scale_sizes = sorted(
+                {max(round(base * f / 32) * 32, 64) for f in (0.75, 0.875, 1.0, 1.125, 1.25)}
+            )
+        self._ms_rng = np.random.default_rng(cfg.seed + 1)
+
         self.batch_shard = batch_sharding(self.mesh)
         self.meters = MeterBuffer()
         self.evaluator = Evaluator(self.model.apply, decode_fn, cfg.eval)
         self.start_epoch = 0
         self.ckpt_dir = Path(cfg.output_dir) / "checkpoints"
+
+        # observability: TensorBoard scalars (train_yolov5.py:213-214,
+        # 520-524) and an optional jax.profiler trace window (the reference
+        # gates torch.profiler behind enable_profiler, train_yolov8.py:286-291)
+        self.writer = None
+        if cfg.hyp.get("enable_tensorboard") and jax.process_index() == 0:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.writer = SummaryWriter(
+                    log_dir=str(Path(cfg.output_dir) / "tb")
+                )
+            except Exception as err:  # torch TB is optional
+                self.log(f"tensorboard disabled: {err}")
+        self._profile_steps = cfg.hyp.get("enable_profiler", 0)
+        self._profile_dir = str(Path(cfg.output_dir) / "profile")
+
+    def _step_fn_for(self, size):
+        size = tuple(size)
+        if size not in self._step_fns:
+            loss_fn, _ = self.family.make_loss(self.cfg.hyp, self.num_class, size)
+            self._step_fns[size] = make_train_step(
+                loss_fn, accumulate=self.cfg.accumulate,
+                do_ema=self.cfg.do_ema, compute_dtype=self._compute_dtype,
+            )
+        return self._step_fns[size]
 
     # ------------------------------------------------------------------ io
     def save(self, step: int):
@@ -159,16 +198,30 @@ class Trainer:
 
             t_epoch = time.time()
             for it in range(self.steps_per_epoch):
+                global_it = epoch * self.steps_per_epoch + it
+                if self.multi_scale_sizes and global_it % 10 == 0:
+                    # new random size every 10 iterations (:536-543)
+                    s = int(self._ms_rng.choice(self.multi_scale_sizes))
+                    self.train_loader.set_input_size(s)
+                if self._profile_steps and global_it == 1:
+                    jax.profiler.start_trace(self._profile_dir)
                 t0 = time.time()
                 batch = self._device_batch(next(self.train_loader))
                 t_data = time.time() - t0
-                self.state, metrics = self.train_step(self.state, batch)
+                step_fn = self._step_fn_for(batch["img"].shape[1:3])
+                self.state, metrics = step_fn(self.state, batch)
                 metrics = {k: float(v) for k, v in metrics.items()}
                 self.meters.update(
                     data_time=t_data,
                     iter_time=time.time() - t0,
                     **metrics,
                 )
+                if self.writer is not None:
+                    for k, v in metrics.items():
+                        self.writer.add_scalar(f"train/{k}", v, global_it)
+                if self._profile_steps and global_it == 1 + self._profile_steps:
+                    jax.profiler.stop_trace()
+                    self.log(f"profiler trace saved to {self._profile_dir}")
             step = int(self.state.step)
             parts = " ".join(
                 f"{k.replace('_loss', '')} {self.meters[k].avg:.3f}"
