@@ -1,0 +1,134 @@
+"""Logit parity: reference torch YOLOv5s vs this framework's flax graph.
+
+The strongest architecture-parity check available without the reference's
+(Baidu-hosted) checkpoints: instantiate the reference model with random
+weights, convert its state_dict through `convert_yolov5_state_dict`, run
+both on the same input, and demand matching raw maps.
+
+Requires the reference repo at /root/reference (skipped elsewhere) and stubs
+its unavailable imports (numba, loguru) — the reference code is only
+*executed*, never copied.
+"""
+
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REFERENCE = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not REFERENCE.exists(), reason="reference repo not mounted"
+)
+
+
+def _install_stubs():
+    if "numba" not in sys.modules:
+        numba = types.ModuleType("numba")
+        numba.njit = lambda *a, **k: (a[0] if a and callable(a[0]) else (lambda f: f))
+        sys.modules["numba"] = numba
+    if "loguru" not in sys.modules:
+        loguru = types.ModuleType("loguru")
+
+        class _Logger:
+            def __getattr__(self, _):
+                return lambda *a, **k: (lambda f: f) if _ == "catch" else None
+
+            def catch(self, *a, **k):
+                return a[0] if a and callable(a[0]) else (lambda f: f)
+
+            def info(self, *a, **k):
+                pass
+
+            def warning(self, *a, **k):
+                pass
+
+        loguru.logger = _Logger()
+        sys.modules["loguru"] = loguru
+    if "thop" not in sys.modules:
+        thop = types.ModuleType("thop")
+        thop.profile = lambda *a, **k: (0, 0)
+        sys.modules["thop"] = thop
+
+
+def _load_reference_yolov5s():
+    _install_stubs()
+    if str(REFERENCE) not in sys.path:
+        sys.path.insert(0, str(REFERENCE))
+    import importlib.util
+
+    # load utils.layer_tools standalone (torch/numpy only), then feed the
+    # model module a minimal 'utils' namespace so we skip the heavy
+    # utils/__init__ import chain (cv2 windows, dist, etc.)
+    spec = importlib.util.spec_from_file_location(
+        "_ref_layer_tools", REFERENCE / "utils" / "layer_tools.py"
+    )
+    lt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(lt)
+
+    fake_utils = types.ModuleType("utils")
+    for name in ("ConvBnAct", "Upsample", "Concat", "Detect",
+                 "C3BottleneckCSP", "FastSPP"):
+        setattr(fake_utils, name, getattr(lt, name))
+    saved = sys.modules.get("utils")
+    sys.modules["utils"] = fake_utils
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "_ref_yolov5s", REFERENCE / "models" / "normal" / "yolov5s.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        if saved is not None:
+            sys.modules["utils"] = saved
+        else:
+            sys.modules.pop("utils", None)
+    return mod.YOLOV5Small
+
+
+def test_yolov5s_logit_parity_with_reference():
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from yoloseries_tpu.models import create_model
+    from yoloseries_tpu.utils.torch_import import convert_yolov5_state_dict
+
+    YOLOV5Small = _load_reference_yolov5s()
+    torch.manual_seed(0)
+    nc = 7
+    ref = YOLOV5Small(3, nc).eval()
+
+    params, stats = convert_yolov5_state_dict(ref.state_dict(), nc)
+
+    model = create_model("yolov5s", num_class=nc)
+    # sanity: converted tree matches the flax-initialized structure
+    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    ref_paths = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_flatten_with_path(init["params"])[0]}
+    got_paths = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_paths == got_paths, (
+        f"missing: {sorted(ref_paths - got_paths)[:5]} "
+        f"extra: {sorted(got_paths - ref_paths)[:5]}"
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_outs = ref(torch.from_numpy(x))
+
+    ours = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        train=False,
+    )
+
+    for ref_o, our_o in zip(ref_outs, ours):
+        ref_nhwc = ref_o.numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(
+            np.asarray(our_o), ref_nhwc, rtol=5e-3, atol=5e-4
+        )
