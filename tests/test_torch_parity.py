@@ -132,3 +132,105 @@ def test_yolov5s_logit_parity_with_reference():
         np.testing.assert_allclose(
             np.asarray(our_o), ref_nhwc, rtol=5e-3, atol=5e-4
         )
+
+
+def test_map_parity_with_reference_mAP_v2(tmp_path):
+    """Our DetectionMetrics must reproduce the reference's mAP_v2 EXACTLY
+    (same matching, same interpolation) on random detections."""
+    import importlib.util
+
+    _install_stubs()
+    pkg = types.ModuleType("refutils")
+    pkg.__path__ = [str(REFERENCE / "utils")]
+    sys.modules["refutils"] = pkg
+
+    def load(name):
+        spec = importlib.util.spec_from_file_location(
+            f"refutils.{name}", REFERENCE / "utils" / f"{name}.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"refutils.{name}"] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    load("common")
+    mAP_mod = load("mAP")
+
+    from yoloseries_tpu.ops import DetectionMetrics
+
+    rng = np.random.default_rng(42)
+    gts, preds = [], []
+    for _ in range(25):
+        n = rng.integers(1, 6)
+        xy = rng.uniform(0, 400, (n, 2))
+        wh = rng.uniform(20, 120, (n, 2))
+        gt = np.concatenate([xy, xy + wh, rng.integers(0, 5, (n, 1))], axis=1)
+        m = rng.integers(1, 10)
+        rows = []
+        for i in range(m):
+            if i < n and rng.random() < 0.7:
+                j = gt[i % n]
+                jit = rng.normal(0, 8, 4)
+                rows.append([j[0] + jit[0], j[1] + jit[1], j[2] + jit[2],
+                             j[3] + jit[3], rng.uniform(0.3, 1), j[4]])
+            else:
+                xy2 = rng.uniform(0, 400, 2)
+                wh2 = rng.uniform(20, 100, 2)
+                rows.append([xy2[0], xy2[1], xy2[0] + wh2[0], xy2[1] + wh2[1],
+                             rng.uniform(0.05, 0.9), rng.integers(0, 5)])
+        pred = np.abs(np.array(rows))
+        pred[:, 2] = np.maximum(pred[:, 2], pred[:, 0] + 1)
+        pred[:, 3] = np.maximum(pred[:, 3], pred[:, 1] + 1)
+        gts.append(gt)
+        preds.append(pred)
+
+    ref = mAP_mod.mAP_v2(gts, preds, str(tmp_path))
+    r_map, r_map50, r_mp, r_mr = ref.get_mean_metrics()
+
+    ours = DetectionMetrics()
+    for g, p in zip(gts, preds):
+        ours.add_image(g, p)
+    o = ours.compute()
+    assert abs(r_map - o["map"]) < 1e-9
+    assert abs(r_map50 - o["map50"]) < 1e-9
+    assert abs(r_mp - o["mp"]) < 1e-9
+    assert abs(r_mr - o["mr"]) < 1e-9
+
+
+def test_nms_parity_with_reference_numba_nms():
+    """Our greedy NMS keep-list must match the reference's numba_nms
+    (executed as pure python via the numba stub) index for index."""
+    import importlib.util
+
+    import jax.numpy as jnp
+
+    _install_stubs()
+    pkg = types.ModuleType("refutils2")
+    pkg.__path__ = [str(REFERENCE / "utils")]
+    sys.modules["refutils2"] = pkg
+
+    def load(name):
+        spec = importlib.util.spec_from_file_location(
+            f"refutils2.{name}", REFERENCE / "utils" / f"{name}.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"refutils2.{name}"] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    load("bbox_tools")
+    nms_mod = load("nms")
+
+    from yoloseries_tpu.ops import greedy_nms
+
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        n = 80
+        xy = rng.uniform(0, 300, (n, 2))
+        wh = rng.uniform(10, 90, (n, 2))
+        boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+        scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+        ref_keep = nms_mod.numba_nms(boxes.copy(), scores.copy(), 0.5)
+        ki, kv = greedy_nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, n)
+        ours = np.asarray(ki)[np.asarray(kv)].tolist()
+        assert ours == list(ref_keep), (ours[:10], list(ref_keep)[:10])
