@@ -42,7 +42,9 @@ def run_in_clean_subprocess(code: str, n_devices: int = 8, timeout: int = 560):
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""  # sitecustomize skips axon registration
     env["JAX_PLATFORMS"] = "cpu"
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+    # separate cache: entries written by the TPU-pinned parent process abort
+    # with SIGILL/SIGABRT when loaded as CPU AOT results here
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache_cpu"
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "")

@@ -82,3 +82,72 @@ print('sharded postprocess ok')
 """
     proc = run_in_clean_subprocess(code)
     assert "sharded postprocess ok" in proc.stdout
+
+
+def test_ddp_per_replica_bn():
+    """shard_map DDP step: per-replica BN stats diverge on different shards,
+    stay identical on identical shards, and pre-eval sync averages them."""
+    code = """
+import jax, jax.numpy as jnp, numpy as np
+from flax import linen as nn
+assert len(jax.devices()) == 8
+from yoloseries_tpu.losses import YOLOv5LossConfig
+from yoloseries_tpu.models import create_model
+from yoloseries_tpu.ops import YOLOV5_ANCHORS
+from yoloseries_tpu.parallel import batch_sharding, make_mesh
+from yoloseries_tpu.train import OptimizerConfig, build_optimizer, create_train_state
+from yoloseries_tpu.train.ddp import make_ddp_train_step, shard_ddp_state, sync_replica_stats
+from yoloseries_tpu.losses.yolov5 import yolov5_loss
+
+size, nc, B = 64, 3, 8
+model = create_model('yolov5s', num_class=nc)
+cfg = OptimizerConfig(batch_size=B, total_epochs=2, steps_per_epoch=2, do_warmup=False)
+variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), train=False)
+tx = build_optimizer(cfg, variables['params'])
+loss_cfg = YOLOv5LossConfig(num_class=nc, input_size=(size, size))
+anchors = jnp.asarray(YOLOV5_ANCHORS)
+loss_fn = lambda preds, t, bal: yolov5_loss(preds, t, anchors, bal, loss_cfg)
+
+mesh = make_mesh()
+state = create_train_state(model, tx, jax.random.PRNGKey(0), (1, size, size, 3))
+state = shard_ddp_state(state, mesh)
+step = make_ddp_train_step(loss_fn, mesh, model.apply, tx)
+
+rng = np.random.default_rng(0)
+img = rng.integers(0, 255, (B, size, size, 3), dtype=np.uint8)
+ann = np.full((B, 8, 6), -1, dtype=np.float32)
+for i in range(B):
+    ann[i, 0] = [8, 8, 40, 40, i % nc, i]
+shard = batch_sharding(mesh)
+batch = {'img': jax.device_put(jnp.asarray(img), shard),
+         'ann': jax.device_put(jnp.asarray(ann), shard)}
+
+state, metrics = step(state, batch)
+assert np.isfinite(float(metrics['tot_loss']))
+assert int(state.step) == 1
+
+# per-replica stats diverged (different data per device)
+stats_leaf = np.asarray(jax.tree.leaves(state.batch_stats)[0])
+assert stats_leaf.shape[0] == 8
+spread = np.abs(stats_leaf - stats_leaf.mean(0, keepdims=True)).max()
+assert spread > 0, 'stats should diverge across replicas'
+
+# pre-eval sync collapses the device axis to the mean
+synced = sync_replica_stats(state.batch_stats)
+leaf = np.asarray(jax.tree.leaves(synced)[0])
+np.testing.assert_allclose(leaf, stats_leaf.mean(0), rtol=1e-6)
+
+# identical per-device data -> identical per-replica stats
+img2 = np.tile(img[:1], (B, 1, 1, 1))
+ann2 = np.tile(ann[:1], (B, 1, 1))
+batch2 = {'img': jax.device_put(jnp.asarray(img2), shard),
+          'ann': jax.device_put(jnp.asarray(ann2), shard)}
+state2 = create_train_state(model, tx, jax.random.PRNGKey(0), (1, size, size, 3))
+state2 = shard_ddp_state(state2, mesh)
+state2, m2 = step(state2, batch2)
+s2 = np.asarray(jax.tree.leaves(state2.batch_stats)[0])
+np.testing.assert_allclose(s2, np.tile(s2[:1], (8,) + (1,) * (s2.ndim - 1)), rtol=1e-5)
+print('ddp per-replica bn ok', float(metrics['tot_loss']))
+"""
+    proc = run_in_clean_subprocess(code)
+    assert "ddp per-replica bn ok" in proc.stdout
