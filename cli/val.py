@@ -37,7 +37,7 @@ def main():
     import jax
     import numpy as np
 
-    from yoloseries_tpu.configs import TrainConfig, load_hyp
+    from yoloseries_tpu.configs import load_hyp
     from yoloseries_tpu.data import DataLoader, DetectionDataset
     from yoloseries_tpu.evaluation import EvalConfig, Evaluator
     from yoloseries_tpu.families import get_family

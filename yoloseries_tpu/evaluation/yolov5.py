@@ -11,8 +11,7 @@ travel to host, where `unletterbox` maps them back to original image coords.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

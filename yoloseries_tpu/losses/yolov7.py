@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..ops.boxes import xywh2xyxy, xyxy2xywhn
 from ..ops.iou import ciou, pairwise_iou
 from .common import bce_with_logits, focal_loss_factor, smooth_bce_targets
-from .yolov5 import _OFFSETS, _assign_stage_thr
+from .yolov5 import _assign_stage_thr
 
 __all__ = ["YOLOv7LossConfig", "yolov7_loss"]
 

@@ -20,7 +20,7 @@ an objectness channel: reg output is (..., 5) = 4 deltas + 1 cof logit.
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -20,7 +20,7 @@ ELANBlock:823, C2f:872, DistributionFocalLoss integral:906, Scale:56.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,6 @@ logical unit, restored piecewise-if-present like load_model
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any
-
 import jax
 import orbax.checkpoint as ocp
 

@@ -19,8 +19,6 @@ Params, optimizer state, EMA params and loss balances stay replicated
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import optax
@@ -29,11 +27,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from .ema import ema_update
 from .state import TrainState
 
-try:  # jax >= 0.5 exposes shard_map at top level
-    from jax import shard_map as _shard_map_mod
-
+if hasattr(jax, "shard_map"):  # jax >= 0.5
     shard_map = jax.shard_map
-except AttributeError:  # pragma: no cover - older jax
+else:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 __all__ = [

@@ -13,7 +13,6 @@ behavior, train_yolov5.py:342-350).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable
 
 import jax
