@@ -23,21 +23,26 @@ from ..ops.nms import postprocess_detections
 __all__ = ["decode_yolov5", "EvalConfig", "Evaluator", "scale_and_pad"]
 
 
-def decode_yolov5(stage_preds, anchors, strides=(8, 16, 32)):
+def decode_yolov5(stage_preds, anchors, strides=(8, 16, 32),
+                  dtype=jnp.float32):
     """Raw NHWC maps -> (B, N, 5+nc) [cx, cy, w, h, obj, cls...] in pixels.
 
     Matches YOLOV5Evaluator.do_inference (trainer/eval_yolov5.py:181-209):
     xy = (2*sigmoid - 0.5 + grid) * stride, wh = (2*sigmoid)^2 * anchor.
+
+    ``dtype=bfloat16`` halves the decode bandwidth (the (B, N, 85) tensor
+    dominates HBM traffic at serving batch sizes) at <1 px box error —
+    use for throughput serving; keep f32 for mAP evaluation.
     """
     outs = []
     num_anchor = anchors.shape[1]
     for pred, stride in zip(stage_preds, strides):
         b, h, w, c = pred.shape
         no = c // num_anchor
-        p = jax.nn.sigmoid(pred.astype(jnp.float32).reshape(b, h, w, num_anchor, no))
-        grid = jnp.asarray(make_grid(h, w))  # (h, w, 2)
+        p = jax.nn.sigmoid(pred.astype(dtype).reshape(b, h, w, num_anchor, no))
+        grid = jnp.asarray(make_grid(h, w)).astype(dtype)  # (h, w, 2)
         anchor = anchors[strides.index(stride) if isinstance(strides, list) else
-                         list(strides).index(stride)].astype(jnp.float32)
+                         list(strides).index(stride)].astype(dtype)
         xy = (p[..., 0:2] * 2.0 - 0.5 + grid[None, :, :, None, :]) * stride
         wh = (p[..., 2:4] * 2.0) ** 2 * anchor[None, None, None, :, :]
         out = jnp.concatenate([xy, wh, p[..., 4:]], axis=-1)
