@@ -151,3 +151,80 @@ print('ddp per-replica bn ok', float(metrics['tot_loss']))
 """
     proc = run_in_clean_subprocess(code)
     assert "ddp per-replica bn ok" in proc.stdout
+
+
+def test_trainer_per_replica_bn_flag():
+    """Trainer with per_replica_bn: true trains via the shard_map DDP step
+    and eval_variables syncs the per-replica stats."""
+    code = """
+import numpy as np
+from pathlib import Path
+from PIL import Image
+import jax
+assert len(jax.devices()) == 8
+
+root = Path('/tmp/ddp_trainer_ds')
+for d in ('img', 'lab'):
+    (root / d).mkdir(parents=True, exist_ok=True)
+rng = np.random.default_rng(1)
+for i in range(8):
+    img = np.full((96, 96, 3), 30, dtype=np.uint8)
+    x1, y1 = int(rng.integers(5, 40)), int(rng.integers(5, 40))
+    img[y1:y1+30, x1:x1+30] = [220, 60, 40]
+    Image.fromarray(img).save(root / 'img' / f'{i}.jpg')
+    (root / 'lab' / f'{i}.txt').write_text(f'{i % 2} {x1} {y1} {x1+30} {y1+30}\\n')
+(root / 'names.txt').write_text('0 a\\n1 b\\n')
+
+from flax import linen as nn
+from yoloseries_tpu.models.registry import _REGISTRY, register
+
+class Toy(nn.Module):
+    num_class: int = 2
+    dtype: object = None
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.Conv(8, (3, 3), strides=(2, 2))(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.97)(x)
+        x = nn.relu(x)
+        x = nn.Conv(16, (3, 3), strides=(4, 4))(x)  # /8
+        outs = []
+        y = x
+        for i in range(3):
+            outs.append(nn.Conv(3 * (5 + self.num_class), (1, 1))(y))
+            if i < 2:
+                y = nn.avg_pool(y, (2, 2), strides=(2, 2))
+        return outs
+
+if 'toy' not in _REGISTRY:
+    register('toy')(lambda num_class, **kw: Toy(num_class=num_class))
+
+from yoloseries_tpu.configs import TrainConfig
+from yoloseries_tpu.train import Trainer
+
+hyp = {
+    'input_img_size': [64, 64], 'batch_size': 8, 'total_epoch': 2,
+    'use_focal_loss': False, 'do_warmup': False, 'per_replica_bn': True,
+    'data_aug_mosaic_p': 0.0, 'data_aug_mixup_p': 0.0,
+    'data_aug_prespective_p': 0.0, 'data_aug_hsv_p': 0.0,
+    'data_aug_cutout_p': 0.0, 'data_aug_fliplr_p': 0.0,
+}
+cfg = TrainConfig.from_hyp(hyp, num_class=2, model='toy', max_labels=8,
+                           output_dir='/tmp/ddp_trainer_run', no_aug_epochs=0)
+tr = Trainer(cfg, (root / 'img', root / 'lab'), val_dirs=(root / 'img', root / 'lab'),
+             names_path=root / 'names.txt', log_fn=lambda *a: None)
+try:
+    assert tr.per_replica_bn
+    tr.train(epochs=2)
+    stats_leaf = np.asarray(jax.tree.leaves(tr.state.batch_stats)[0])
+    assert stats_leaf.shape[0] == 8  # per-replica axis
+    v = tr.eval_variables()
+    synced = np.asarray(jax.tree.leaves(v['batch_stats'])[0])
+    assert synced.shape == stats_leaf.shape[1:]  # device axis collapsed
+    out = tr.evaluate(max_batches=1)
+    assert 'map50' in out
+    print('trainer ddp ok', int(tr.state.step))
+finally:
+    tr.train_loader.stop()
+"""
+    proc = run_in_clean_subprocess(code)
+    assert "trainer ddp ok" in proc.stdout

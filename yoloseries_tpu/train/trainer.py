@@ -113,14 +113,29 @@ class Trainer:
             self.model, self.tx, jax.random.PRNGKey(cfg.seed),
             (1, *cfg.input_size, 3), balances=balances0,
         )
-        self.state = replicate_state(self.state, self.mesh)
         self._compute_dtype = compute_dtype
-        self._step_fns = {
-            tuple(cfg.input_size): make_train_step(
-                loss_fn, accumulate=cfg.accumulate,
-                do_ema=cfg.do_ema, compute_dtype=compute_dtype,
-            )
-        }
+        # `per_replica_bn: true` selects the DDP-semantics shard_map step
+        # (per-device BN stats + pmean grads — the reference's exact training
+        # dynamics); default is the pjit path (global-batch BN).
+        self.per_replica_bn = bool(cfg.hyp.get("per_replica_bn", False))
+        if self.per_replica_bn:
+            from .ddp import make_ddp_train_step, shard_ddp_state
+
+            self.state = shard_ddp_state(self.state, self.mesh)
+            self._step_fns = {
+                tuple(cfg.input_size): make_ddp_train_step(
+                    loss_fn, self.mesh, self.model.apply, self.tx,
+                    do_ema=cfg.do_ema, compute_dtype=compute_dtype,
+                )
+            }
+        else:
+            self.state = replicate_state(self.state, self.mesh)
+            self._step_fns = {
+                tuple(cfg.input_size): make_train_step(
+                    loss_fn, accumulate=cfg.accumulate,
+                    do_ema=cfg.do_ema, compute_dtype=compute_dtype,
+                )
+            }
         # multi-scale training (train_yolov5.py:526-544): a bucketed set of
         # static sizes, each with its own loss closure + compiled step
         self.multi_scale_sizes = []
@@ -157,10 +172,18 @@ class Trainer:
         size = tuple(size)
         if size not in self._step_fns:
             loss_fn, _ = self.family.make_loss(self.cfg.hyp, self.num_class, size)
-            self._step_fns[size] = make_train_step(
-                loss_fn, accumulate=self.cfg.accumulate,
-                do_ema=self.cfg.do_ema, compute_dtype=self._compute_dtype,
-            )
+            if self.per_replica_bn:
+                from .ddp import make_ddp_train_step
+
+                self._step_fns[size] = make_ddp_train_step(
+                    loss_fn, self.mesh, self.model.apply, self.tx,
+                    do_ema=self.cfg.do_ema, compute_dtype=self._compute_dtype,
+                )
+            else:
+                self._step_fns[size] = make_train_step(
+                    loss_fn, accumulate=self.cfg.accumulate,
+                    do_ema=self.cfg.do_ema, compute_dtype=self._compute_dtype,
+                )
         return self._step_fns[size]
 
     # ------------------------------------------------------------------ io
@@ -242,13 +265,19 @@ class Trainer:
 
     # ---------------------------------------------------------------- eval
     def eval_variables(self):
-        """EMA weights if tracked, else live weights (train_yolov5.py:688-693)."""
+        """EMA weights if tracked, else live weights (train_yolov5.py:688-693).
+        Under per-replica BN, stats are averaged across replicas first
+        (all_reduce_norm's pre-eval sync, utils/allreduce_norm.py:91)."""
         if self.cfg.do_ema:
-            return {
-                "params": self.state.ema_params,
-                "batch_stats": self.state.ema_batch_stats,
-            }
-        return {"params": self.state.params, "batch_stats": self.state.batch_stats}
+            stats = self.state.ema_batch_stats
+        else:
+            stats = self.state.batch_stats
+        if self.per_replica_bn:
+            from .ddp import sync_replica_stats
+
+            stats = sync_replica_stats(stats)
+        params = self.state.ema_params if self.cfg.do_ema else self.state.params
+        return {"params": params, "batch_stats": stats}
 
     def evaluate(self, max_batches: int | None = None) -> dict:
         """mAP over the val set with reference thresholds (val protocol)."""
