@@ -234,3 +234,63 @@ def test_nms_parity_with_reference_numba_nms():
         ki, kv = greedy_nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, n)
         ours = np.asarray(ki)[np.asarray(kv)].tolist()
         assert ours == list(ref_keep), (ours[:10], list(ref_keep)[:10])
+
+
+def test_yolov5m_logit_parity_with_reference():
+    """Same check for the m size — validates the depth/channel tables
+    (reference models/normal/yolov5m.py) through the shared name mapping."""
+    import importlib.util
+
+    import torch
+
+    import jax.numpy as jnp
+
+    from yoloseries_tpu.models import create_model
+    from yoloseries_tpu.utils.torch_import import convert_yolov5_state_dict
+
+    _install_stubs()
+    if str(REFERENCE) not in sys.path:
+        sys.path.insert(0, str(REFERENCE))
+    spec = importlib.util.spec_from_file_location(
+        "_ref_layer_tools_m", REFERENCE / "utils" / "layer_tools.py"
+    )
+    lt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(lt)
+    fake_utils = types.ModuleType("utils")
+    for name in ("ConvBnAct", "Upsample", "Concat", "Detect",
+                 "C3BottleneckCSP", "FastSPP"):
+        setattr(fake_utils, name, getattr(lt, name))
+    saved = sys.modules.get("utils")
+    sys.modules["utils"] = fake_utils
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "_ref_yolov5m", REFERENCE / "models" / "normal" / "yolov5m.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        if saved is not None:
+            sys.modules["utils"] = saved
+        else:
+            sys.modules.pop("utils", None)
+
+    torch.manual_seed(1)
+    nc = 4
+    ref = mod.YOLOV5Middle(3, nc).eval()
+    params, stats = convert_yolov5_state_dict(ref.state_dict(), nc)
+    model = create_model("yolov5m", num_class=nc)
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_outs = ref(torch.from_numpy(x))
+    ours = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        train=False,
+    )
+    for ref_o, our_o in zip(ref_outs, ours):
+        np.testing.assert_allclose(
+            np.asarray(our_o), ref_o.numpy().transpose(0, 2, 3, 1),
+            rtol=5e-3, atol=5e-4,
+        )
