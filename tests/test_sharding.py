@@ -203,7 +203,7 @@ from yoloseries_tpu.train import Trainer
 
 hyp = {
     'input_img_size': [64, 64], 'batch_size': 8, 'total_epoch': 2,
-    'use_focal_loss': False, 'do_warmup': False, 'per_replica_bn': True,
+    'use_focal_loss': False, 'family': 'yolov5', 'do_warmup': False, 'per_replica_bn': True,
     'data_aug_mosaic_p': 0.0, 'data_aug_mixup_p': 0.0,
     'data_aug_prespective_p': 0.0, 'data_aug_hsv_p': 0.0,
     'data_aug_cutout_p': 0.0, 'data_aug_fliplr_p': 0.0,

@@ -2,6 +2,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+pytestmark = pytest.mark.slow
+
 from yoloseries_tpu.configs import TrainConfig, load_hyp
 from yoloseries_tpu.data.augment import AugmentConfig
 
@@ -66,6 +68,7 @@ def test_trainer_end_to_end(micro_dirs, tmp_path):
         "batch_size": 4,
         "total_epoch": 3,
         "use_focal_loss": False,
+        "family": "yolov5",
         "basic_lr_per_img": 0.01,
         "warmup_epoch": 0,
         "do_warmup": False,

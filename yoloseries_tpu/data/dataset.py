@@ -103,8 +103,8 @@ class DetectionDataset:
             return max(self.cls2name) + 1
         if self._num_class is None:
             classes = set()
-            for p in self.img_files:
-                ann = self.load_annotations(self.img_files.index(p))
+            for idx in range(len(self.img_files)):
+                ann = self.load_annotations(idx)
                 classes.update(ann[:, 0].astype(int).tolist())
             self._num_class = (max(classes) + 1) if classes else 1
         return self._num_class
@@ -133,6 +133,7 @@ class DetectionDataset:
 
         h, w = self.input_size
         cache_dir = Path(cache_dir) if cache_dir else self.img_dir.parent
+        cache_dir.mkdir(parents=True, exist_ok=True)
         cache_file = cache_dir / (
             f"img_{self.img_dir.name}_cache_h{h}_w{w}_{len(self)}.array"
         )

@@ -60,6 +60,7 @@ def collate_batch(samples, dst_size, max_labels: int, stride: int = 32,
     imgs = np.empty((batch, h, w, 3), dtype=np.uint8)
     anns = np.full((batch, max_labels, 6), -1.0, dtype=np.float32)
     infos = np.empty((batch, 5), dtype=np.float32)
+    n_dropped = 0
 
     for i, (img, boxes, classes) in enumerate(samples):
         out, info = letterbox_image(
@@ -72,12 +73,13 @@ def collate_batch(samples, dst_size, max_labels: int, stride: int = 32,
         imgs[i] = out
         infos[i] = info.as_array()
         n = min(len(boxes), max_labels)
+        n_dropped += len(boxes) - n
         if n:
             lb = letterbox_boxes(boxes[:n], info)
             anns[i, :n, 0:4] = lb
             anns[i, :n, 4] = classes[:n]
             anns[i, :n, 5] = i
-    return {"img": imgs, "ann": anns, "info": infos}
+    return {"img": imgs, "ann": anns, "info": infos, "n_dropped": n_dropped}
 
 
 class DataLoader:
@@ -118,6 +120,8 @@ class DataLoader:
         self._device_put = device_put
         self._stop = threading.Event()
         self._sample_counter = 0
+        self.dropped_boxes = 0  # boxes lost to max_labels truncation
+        self._warned_drop = False
         # mutable per-batch letterbox size (multi-scale training,
         # train_yolov5.py:526-544 — bucketed static sizes under jit)
         self._input_size = tuple(dataset.input_size)
@@ -167,6 +171,22 @@ class DataLoader:
                 self.max_labels,
                 fill_value=self.dataset.aug.fill_value,
             )
+            # surface max_labels overflow instead of silently truncating
+            # (reference pads to per-batch max; we keep static M for jit)
+            dropped = batch.pop("n_dropped")
+            if dropped:
+                self.dropped_boxes += dropped
+                if not self._warned_drop:
+                    self._warned_drop = True
+                    import warnings
+
+                    warnings.warn(
+                        f"collate dropped {dropped} boxes beyond "
+                        f"max_labels={self.max_labels} in one batch; raise "
+                        "max_labels if this persists (total tracked in "
+                        "DataLoader.dropped_boxes)",
+                        stacklevel=1,
+                    )
             if self._device_put is not None:
                 batch = self._device_put(batch)
             self._queue.put(batch)

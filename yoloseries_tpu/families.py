@@ -256,17 +256,25 @@ def _register_families():
 _register_families()
 
 
-def family_of(model_name: str) -> str:
+def family_of(model_name: str, default: str | None = None) -> str:
     """Map a registry model name to its family key (longest prefix wins).
 
-    Unknown names fall back to 'yolov5' — any model emitting per-stage
-    (B, H, W, A*(5+nc)) maps at strides 8/16/32 is v5-loss-compatible.
+    Unknown names raise (a typo'd --model must not silently train with the
+    v5 loss); pass ``default='yolov5'`` explicitly for custom models that
+    emit v5-compatible per-stage (B, H, W, A*(5+nc)) maps at strides
+    8/16/32.
     """
     for key in sorted(_FAMILIES, key=len, reverse=True):
         if model_name.startswith(key):
             return key
-    return "yolov5"
+    if default is not None:
+        return default
+    raise KeyError(
+        f"unknown model family for {model_name!r}; known prefixes: "
+        f"{sorted(_FAMILIES)} (pass default='yolov5' for custom "
+        "v5-head-compatible models)"
+    )
 
 
-def get_family(model_name: str) -> Family:
-    return _FAMILIES[family_of(model_name)]
+def get_family(model_name: str, default: str | None = None) -> Family:
+    return _FAMILIES[family_of(model_name, default)]

@@ -75,14 +75,14 @@ def _ota_refine_image(cand_mask, cand_box_px, cand_cof, cand_cls,
     iou = jnp.where(pair_live, iou, 0.0)
     neg_iou_loss = -jnp.log(iou + eps)
 
-    # dynamic-k from the sum of top-k neg-log-iou values (reference :317-319)
+    # dynamic-k from the sum of top-k neg-log-iou values (reference :315-316).
+    # The reference clamps to topk_iou_loss.size(1) == min(topk, Xp) — i.e.
+    # the static k — NOT the live-candidate count; the neg-log-iou sum easily
+    # exceeds k early in training, so the upper bound matters.
     k = min(cfg.topk, C)
     topk_loss, _ = jax.lax.top_k(jnp.where(pair_live, neg_iou_loss, -jnp.inf), k)
     topk_loss = jnp.where(jnp.isfinite(topk_loss), topk_loss, 0.0)
-    n_live = jnp.sum(cand_mask)
-    dynamic_k = jnp.clip(
-        jnp.sum(topk_loss, axis=1).astype(jnp.int32), 1, jnp.maximum(n_live, 1)
-    )  # (M,)
+    dynamic_k = jnp.clip(jnp.sum(topk_loss, axis=1).astype(jnp.int32), 1, k)  # (M,)
 
     # pairwise cls cost on logit(sqrt(cls*cof)) (:330-345)
     joint = jnp.sqrt(

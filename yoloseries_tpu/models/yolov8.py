@@ -3,7 +3,8 @@
 Rebuilds models/normal/yolov8.py:86-182 (NHWC):
 
 * stem: two 3x3/2 convs, then 4 x [C2f -> 3x3/2 conv] backbone with FastSPP,
-  C2f depths int(3 * scale) (invoked with scale=0.5 in train_yolov8.py),
+  per-stage C2f depths int((3,6,6,3) * scale) (invoked with scale=0.5 in
+  train_yolov8.py; widths are NOT scaled in the reference),
 * PAN over FOUR scales /4, /8, /16, /32 (x_18/x_21/x_24/x_27 taps),
 * per-scale split head (:9-84): bbox branch (2 x ConvBnAct(c/4) + 1x1 ->
   4*reg DFL logits), cls branch (2 x ConvBnAct(128) + 1x1 -> nc),
@@ -72,9 +73,12 @@ class YOLOv8(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
-        d = max(int(3 * self.scale), 1)
+        # Reference backbone depths are per-stage (3, 6, 6, 3) * scale
+        # (models/normal/yolov8.py:100-107); head C2f blocks are 3 * scale.
+        d3 = max(int(3 * self.scale), 1)
+        d6 = max(int(6 * self.scale), 1)
         cba = lambda ch, k, s, name: ConvBnAct(ch, k, s, dtype=self.dtype, name=name)
-        c2f = lambda ch, sc, name: C2f(
+        c2f = lambda ch, sc, name, d=d3: C2f(
             ch, shortcut=sc, num_blocks=d, dtype=self.dtype, name=name
         )
 
@@ -83,9 +87,9 @@ class YOLOv8(nn.Module):
 
         x2 = c2f(128, True, "b1_c2f")(x, train)  # /4
         x = cba(256, 3, 2, "b1_conv")(x2, train)  # /8
-        x4 = c2f(256, True, "b2_c2f")(x, train)
+        x4 = c2f(256, True, "b2_c2f", d6)(x, train)
         x = cba(512, 3, 2, "b2_conv")(x4, train)  # /16
-        x6 = c2f(512, True, "b3_c2f")(x, train)
+        x6 = c2f(512, True, "b3_c2f", d6)(x, train)
         x = cba(1024, 3, 2, "b3_conv")(x6, train)  # /32
         x8 = c2f(1024, True, "b4_c2f")(x, train)
         x9 = FastSPP(1024, dtype=self.dtype, name="b4_spp")(x8, train)

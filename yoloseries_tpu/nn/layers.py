@@ -128,22 +128,26 @@ class DWConvBnAct(nn.Module):
 
 
 class BasicBottleneck(nn.Module):
-    """1x1 -> 3x3 with optional residual (utils/layer_tools.py:97-114)."""
+    """kernels[0] -> kernels[1] conv pair with optional residual
+    (utils/layer_tools.py:97-114; default (1, 3)). With kernels=(3, 3) this
+    is the reference's ConciseBottleneck (utils/layer_tools.py:872-884), the
+    C2f inner block."""
 
     out_channels: int
     shortcut: bool = True
     groups: int = 1
     expand_ratio: float = 0.5
+    kernels: tuple[int, int] = (1, 3)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_ch = x.shape[-1]
         mid = int(in_ch * self.expand_ratio)
-        y = ConvBnAct(mid, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBnAct(mid, self.kernels[0], 1, dtype=self.dtype, name="cv1")(x, train)
         y = ConvBnAct(
-            self.out_channels, 3, 1, groups=self.groups, dtype=self.dtype,
-            name="cv2",
+            self.out_channels, self.kernels[1], 1, groups=self.groups,
+            dtype=self.dtype, name="cv2",
         )(y, train)
         if self.shortcut and in_ch == self.out_channels:
             y = y + x
@@ -439,7 +443,9 @@ class Scale(nn.Module):
 
 
 class C2f(nn.Module):
-    """YOLOv8's concise CSP block (utils/layer_tools.py:872-903)."""
+    """YOLOv8's concise CSP block (utils/layer_tools.py:886-903). Inner
+    blocks are ConciseBottlenecks: two 3x3 convs (kernel_size=(3, 3) in the
+    reference C2f ctor), NOT the default 1x1->3x3 bottleneck."""
 
     out_channels: int
     shortcut: bool = False
@@ -454,8 +460,8 @@ class C2f(nn.Module):
         for i in range(self.num_blocks):
             parts.append(
                 BasicBottleneck(
-                    mid, self.shortcut, expand_ratio=1.0, dtype=self.dtype,
-                    name=f"block{i}",
+                    mid, self.shortcut, expand_ratio=1.0, kernels=(3, 3),
+                    dtype=self.dtype, name=f"block{i}",
                 )(parts[-1], train)
             )
         y = jnp.concatenate(parts, axis=-1)

@@ -89,14 +89,17 @@ def shard_ddp_state(state: TrainState, mesh) -> TrainState:
     )
 
 
-def make_ddp_train_step(loss_fn, mesh, apply_fn, tx,
+def make_ddp_train_step(loss_fn, mesh, apply_fn, tx, accumulate: int = 1,
                         do_ema: bool = True, compute_dtype=jnp.float32):
     """Build the per-replica-BN train step over a ('data',) mesh.
 
     The returned fn takes (state, batch) where state was prepared with
-    `shard_ddp_state` and batch = {'img': uint8 (B, H, W, 3), 'ann':
-    (B, M, 6)} sharded over the batch axis. Returns (new_state, metrics);
-    metrics are cross-replica means.
+    `shard_ddp_state` and batch = {'img': uint8 (k*B, H, W, 3), 'ann':
+    (k*B, M, 6)} sharded over the batch axis, with k = ``accumulate``
+    microbatches stacked along it (the reference's no_sync accumulation,
+    train_yolov5.py:327-346: local grads accumulate per microbatch, one
+    allreduce + optimizer/EMA update per boundary). Returns
+    (new_state, metrics); metrics are cross-replica means.
     """
     axis = "data"
 
@@ -115,9 +118,25 @@ def make_ddp_train_step(loss_fn, mesh, apply_fn, tx,
             loss_dict, new_bal = loss_fn(preds, targets, bal)
             return loss_dict["tot_loss"], (mutated["batch_stats"], new_bal, loss_dict)
 
-        grads, (new_stats, new_balances, loss_dict) = jax.grad(
-            fwd, has_aux=True
-        )(params, local_stats, img_u8, ann, balances)
+        grad_fn = jax.grad(fwd, has_aux=True)
+        k = accumulate
+        micro_b = img_u8.shape[0] // k
+        img_k = img_u8.reshape(k, micro_b, *img_u8.shape[1:])
+        ann_k = ann.reshape(k, micro_b, *ann.shape[1:])
+
+        def scan_body(carry, xs):
+            grads_acc, stats, bal = carry
+            mb_img, mb_ann = xs
+            g, (stats, bal, loss_dict) = grad_fn(params, stats, mb_img, mb_ann, bal)
+            return (jax.tree.map(jnp.add, grads_acc, g), stats, bal), loss_dict
+
+        zero_grads = jax.tree.map(jnp.zeros_like, params)
+        (grads, new_stats, new_balances), loss_hist = jax.lax.scan(
+            scan_body, (zero_grads, local_stats, balances), (img_k, ann_k)
+        )
+        if k > 1:
+            grads = jax.tree.map(lambda g: g / k, grads)
+        loss_dict = jax.tree.map(jnp.mean, loss_hist)
 
         # DDP gradient allreduce-mean
         grads = jax.lax.pmean(grads, axis)

@@ -53,7 +53,26 @@ class Trainer:
         log_fn=print,
     ):
         self.cfg = cfg
-        self.log = log_fn
+        # per-rank log file (train_yolov5.py:132-150 writes under
+        # log/log_rank_{r}/): tee every log line into
+        # {output_dir}/log/log_rank_{process_index}/train.log
+        self._log_file = None
+        if cfg.hyp.get("save_log_txt", True):
+            log_dir = (
+                Path(cfg.output_dir) / "log" / f"log_rank_{jax.process_index()}"
+            )
+            log_dir.mkdir(parents=True, exist_ok=True)
+            self._log_file = open(log_dir / "train.log", "a", buffering=1)
+
+        def log(*parts):
+            log_fn(*parts)
+            if self._log_file is not None:
+                print(
+                    time.strftime("%Y-%m-%d %H:%M:%S"), *parts,
+                    file=self._log_file,
+                )
+
+        self.log = log
 
         self.train_dataset = DetectionDataset(
             train_dirs[0], train_dirs[1], names_path,
@@ -83,8 +102,12 @@ class Trainer:
             world_size=jax.process_count(),
             workers=cfg.num_workers,
         )
+        # the loader shards indices by world_size, so an epoch on this host
+        # only sees len(dataset)/world_size samples (DataLoader.__len__)
         self.steps_per_epoch = max(
-            len(self.train_dataset) // (cfg.batch_size * cfg.accumulate), 1
+            len(self.train_dataset)
+            // (cfg.batch_size * cfg.accumulate * jax.process_count()),
+            1,
         )
         # rebuild optim config with the real steps_per_epoch
         cfg.optim = type(cfg.optim)(
@@ -102,8 +125,10 @@ class Trainer:
         )["params"]
         self.tx = build_optimizer(cfg.optim, tx_params)
 
-        # family adapter: loss closure + decode closure for this model
-        self.family = get_family(resolved_name)
+        # family adapter: loss closure + decode closure for this model;
+        # hyp['family'] overrides for custom-registered models whose name
+        # doesn't start with a known family prefix
+        self.family = get_family(resolved_name, default=cfg.hyp.get("family"))
         loss_fn, balances0 = self.family.make_loss(
             cfg.hyp, self.num_class, cfg.input_size
         )
@@ -125,6 +150,7 @@ class Trainer:
             self._step_fns = {
                 tuple(cfg.input_size): make_ddp_train_step(
                     loss_fn, self.mesh, self.model.apply, self.tx,
+                    accumulate=cfg.accumulate,
                     do_ema=cfg.do_ema, compute_dtype=compute_dtype,
                 )
             }
@@ -136,14 +162,16 @@ class Trainer:
                     do_ema=cfg.do_ema, compute_dtype=compute_dtype,
                 )
             }
-        # multi-scale training (train_yolov5.py:526-544): a bucketed set of
-        # static sizes, each with its own loss closure + compiled step
+        # multi-scale training (train_yolov5.py:526-544): the reference
+        # samples uniformly in [0.5x, 1.5x] (train_yolov5.py:538); jit needs
+        # static shapes, so quantize that range to /32 buckets — every /32
+        # size the reference could produce gets its own compiled step.
         self.multi_scale_sizes = []
         if cfg.hyp.get("mutil_scale_training") or cfg.hyp.get("multi_scale_training"):
             base = cfg.input_size[0]
-            self.multi_scale_sizes = sorted(
-                {max(round(base * f / 32) * 32, 64) for f in (0.75, 0.875, 1.0, 1.125, 1.25)}
-            )
+            lo = max(round(base * 0.5 / 32) * 32, 64)
+            hi = round(base * 1.5 / 32) * 32
+            self.multi_scale_sizes = list(range(lo, hi + 1, 32))
         self._ms_rng = np.random.default_rng(cfg.seed + 1)
 
         self.batch_shard = batch_sharding(self.mesh)
@@ -168,6 +196,22 @@ class Trainer:
         self._profile_steps = cfg.hyp.get("enable_profiler", 0)
         self._profile_dir = str(Path(cfg.output_dir) / "profile")
 
+        # header: formatted config + model summary into the per-rank log
+        # (train_yolov5.py:132-150 behavior)
+        if self._log_file is not None:
+            from ..utils.summary import format_hyp_table, summarize_model
+
+            print(format_hyp_table(cfg.hyp), file=self._log_file)
+            try:
+                s = summarize_model(self.model, (1, *cfg.input_size, 3))
+                print(
+                    f"model {resolved_name}: {s['params']:,} params, "
+                    f"{s['gflops']:.2f} GFLOPs @ {cfg.input_size}",
+                    file=self._log_file,
+                )
+            except Exception as err:  # summary is best-effort
+                print(f"model summary unavailable: {err}", file=self._log_file)
+
     def _step_fn_for(self, size):
         size = tuple(size)
         if size not in self._step_fns:
@@ -177,6 +221,7 @@ class Trainer:
 
                 self._step_fns[size] = make_ddp_train_step(
                     loss_fn, self.mesh, self.model.apply, self.tx,
+                    accumulate=self.cfg.accumulate,
                     do_ema=self.cfg.do_ema, compute_dtype=self._compute_dtype,
                 )
             else:
