@@ -28,6 +28,14 @@ import numpy as np
 import pytest
 
 
+def pytest_collection_modifyitems(config, items):
+    """Every test not marked slow is fast: `pytest -m fast` is the quick
+    subset (<5 min on the chip), `-m slow` the compile-heavy remainder."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(7)

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from yoloseries_tpu.evaluation import decode_fcos
 from yoloseries_tpu.losses import FCOSLossConfig, fcos_loss
@@ -60,6 +61,7 @@ def test_fcos_cspnet_three_levels():
     assert cls_fms[0].shape == (1, 8, 8, 3)
 
 
+@pytest.mark.slow
 def test_fcos_loss_descends():
     # 3 levels at 64px: same code path as the 5-level config, much cheaper
     # to compile on the CPU test runner

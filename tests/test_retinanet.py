@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from yoloseries_tpu.evaluation import decode_retinanet
 from yoloseries_tpu.losses import RetinaNetLossConfig, retinanet_loss
@@ -54,6 +55,7 @@ def make_inputs(nc=4, size=64, batch=2, seed=0, with_obj=False):
     return reg, cls, jnp.asarray(t), anchors
 
 
+@pytest.mark.slow
 def test_retinanet_loss_descends():
     nc = 4
     cfg = RetinaNetLossConfig(num_class=nc, image_chunk=2)

@@ -19,9 +19,10 @@ import pytest
 
 REFERENCE = Path("/root/reference")
 
-pytestmark = pytest.mark.skipif(
-    not REFERENCE.exists(), reason="reference repo not mounted"
-)
+pytestmark = [
+    pytest.mark.skipif(not REFERENCE.exists(), reason="reference repo not mounted"),
+    pytest.mark.slow,
+]
 
 
 def _install_stubs():

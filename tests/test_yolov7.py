@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from yoloseries_tpu.losses import YOLOv7LossConfig, yolov7_loss
 from yoloseries_tpu.ops import YOLOV5_ANCHORS
@@ -55,6 +56,7 @@ def test_yolov7_loss_subset_of_v5_candidates():
     assert 0 < float(d7["tar_nums"]) <= float(d5["tar_nums"])
 
 
+@pytest.mark.slow
 def test_yolov7_loss_descends():
     from yoloseries_tpu.losses import initial_balances
 

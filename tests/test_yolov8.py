@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from yoloseries_tpu.evaluation import decode_yolov8
 from yoloseries_tpu.losses import YOLOv8LossConfig, yolov8_loss
@@ -69,6 +70,7 @@ def test_decode_yolov8_shapes():
     np.testing.assert_allclose(out[0, :, 4], 1.0)  # obj placeholder
 
 
+@pytest.mark.slow
 def test_yolov8_loss_descends():
     size, nc = 64, 3
     cfg = YOLOv8LossConfig(num_class=nc, input_size=(size, size), image_chunk=2)

@@ -100,6 +100,7 @@ def test_simota_no_valid_gt():
     assert not np.asarray(fg).any()
 
 
+@pytest.mark.slow
 def test_yolox_loss_finite_and_descends():
     size, nc = 64, 3
     cfg = YOLOXLossConfig(num_class=nc, input_size=(size, size), image_chunk=2)
