@@ -1,0 +1,172 @@
+"""Shared harness for executing reference (/root/reference) torch modules
+in isolation: stubs unavailable deps (numba/loguru/thop) and loads a model
+file with a minimal fake `utils` namespace built from utils/layer_tools.py,
+skipping the reference's heavy utils/__init__ import chain (cv2, dist, ...).
+
+The reference code is only *executed* for parity oracles — never copied.
+"""
+
+import importlib.util
+import sys
+import types
+from pathlib import Path
+
+REFERENCE = Path("/root/reference")
+
+
+def install_stubs():
+    if "numba" not in sys.modules:
+        numba = types.ModuleType("numba")
+        numba.njit = lambda *a, **k: (a[0] if a and callable(a[0]) else (lambda f: f))
+        sys.modules["numba"] = numba
+    if "loguru" not in sys.modules:
+        loguru = types.ModuleType("loguru")
+
+        class _Logger:
+            def catch(self, *a, **k):
+                return a[0] if a and callable(a[0]) else (lambda f: f)
+
+            def __getattr__(self, _):
+                return lambda *a, **k: None
+
+        loguru.logger = _Logger()
+        sys.modules["loguru"] = loguru
+    if "thop" not in sys.modules:
+        thop = types.ModuleType("thop")
+        thop.profile = lambda *a, **k: (0, 0)
+        sys.modules["thop"] = thop
+
+
+_layer_tools = None
+
+
+def layer_tools():
+    """Load reference utils/layer_tools.py standalone (torch-only), once."""
+    global _layer_tools
+    if _layer_tools is None:
+        install_stubs()
+        spec = importlib.util.spec_from_file_location(
+            "_ref_layer_tools_shared", REFERENCE / "utils" / "layer_tools.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _layer_tools = mod
+    return _layer_tools
+
+
+def load_reference_module(rel_path: str, utils_names: tuple, mod_name: str):
+    """Execute a reference model file with `utils` faked to expose only
+    ``utils_names`` from layer_tools. Returns the loaded module."""
+    install_stubs()
+    lt = layer_tools()
+    fake_utils = types.ModuleType("utils")
+    for name in utils_names:
+        setattr(fake_utils, name, getattr(lt, name))
+    saved = sys.modules.get("utils")
+    sys.modules["utils"] = fake_utils
+    try:
+        spec = importlib.util.spec_from_file_location(mod_name, REFERENCE / rel_path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        if saved is not None:
+            sys.modules["utils"] = saved
+        else:
+            sys.modules.pop("utils", None)
+    return mod
+
+
+# model zoo: name -> (file, utils names, class attr, ctor kwargs)
+REF_MODELS = {
+    "yolov5s": (
+        "models/normal/yolov5s.py",
+        ("ConvBnAct", "Upsample", "Concat", "Detect", "C3BottleneckCSP", "FastSPP"),
+        "YOLOV5Small",
+    ),
+    "yolov5m": (
+        "models/normal/yolov5m.py",
+        ("ConvBnAct", "Upsample", "Concat", "Detect", "C3BottleneckCSP", "FastSPP"),
+        "YOLOV5Middle",
+    ),
+    "yolox_s": (
+        "models/normal/yolox_s.py",
+        ("ConvBnAct", "Upsample", "Concat", "Detect", "C3BottleneckCSP", "FastSPP"),
+        "YOLOXSmall",
+    ),
+    "yolov7": (
+        "models/normal/yolov7.py",
+        ("ConvBnAct", "CSPCSPP", "Upsample", "Concat", "ImplicitMul",
+         "ImplicitAdd", "RepConv", "fuse_conv_bn"),
+        "YOLOV7Baseline",
+    ),
+    "yolov8": (
+        "models/normal/yolov8.py",
+        ("ConvBnAct", "Upsample", "Concat", "FastSPP", "C2f",
+         "DistributionFocalLoss"),
+        "YOLOV8",
+    ),
+    "retinanet": (
+        "models/normal/retinanet.py",
+        ("resnet50", "RetinaNetClassification", "RetinaNetRegression",
+         "RetinaNetPyramidFeatures"),
+        "RetinaNet",
+    ),
+    "fcos": (
+        "models/normal/fcos.py",
+        ("resnet50", "Scale"),
+        "FCOSBaseline",
+    ),
+}
+
+
+def load_reference_model(key: str):
+    rel, names, cls = REF_MODELS[key]
+    mod = load_reference_module(rel, names, f"_ref_{key}")
+    return getattr(mod, cls)
+
+
+def load_reference_v5_evaluator():
+    """Execute trainer/eval_yolov5.py with a fake `utils` namespace carrying
+    the real nms/bbox_tools functions (numba stubbed to pure python).
+    Returns the YOLOV5Evaluator class."""
+    install_stubs()
+
+    pkg = types.ModuleType("_refu")
+    pkg.__path__ = [str(REFERENCE / "utils")]
+    sys.modules["_refu"] = pkg
+
+    def _load(name):
+        spec = importlib.util.spec_from_file_location(
+            f"_refu.{name}", REFERENCE / "utils" / f"{name}.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"_refu.{name}"] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    bbox_tools = _load("bbox_tools")
+    nms = _load("nms")
+
+    fake_utils = types.ModuleType("utils")
+    fake_utils.gpu_nms = nms.gpu_nms
+    fake_utils.numba_nms = nms.numba_nms
+    fake_utils.numba_iou = bbox_tools.numba_iou
+    fake_utils.numba_xywh2xyxy = bbox_tools.numba_xywh2xyxy
+    fake_utils.xywh2xyxy = bbox_tools.xywh2xyxy
+    fake_utils.weighted_fusion_bbox = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("wfb not wired in this harness")
+    )
+    saved = sys.modules.get("utils")
+    sys.modules["utils"] = fake_utils
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "_ref_eval_yolov5", REFERENCE / "trainer" / "eval_yolov5.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        if saved is not None:
+            sys.modules["utils"] = saved
+        else:
+            sys.modules.pop("utils", None)
+    return mod.YOLOV5Evaluator

@@ -1,0 +1,167 @@
+"""Reference-as-oracle END-TO-END eval parity (VERDICT round-1 item 4).
+
+No dataset needed: a random-weight reference YOLOv5s runs through the
+reference's own evaluator (trainer/eval_yolov5.py — decode, TTA, conf/cls
+gating, class-offset numba NMS, box-merge supporter filter) at the
+validation-protocol thresholds (conf .001 / iou .65 / 300 keeps,
+config/validation.yaml:4-8); the converted model runs through OUR jitted
+Evaluator. Final per-image (N, 6) detections must match, and the mAP each
+produces against a synthetic gt set must agree to < 0.5 pt.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from ref_loader import (  # noqa: E402
+    REFERENCE,
+    load_reference_model,
+    load_reference_v5_evaluator,
+)
+
+pytestmark = [
+    pytest.mark.skipif(not REFERENCE.exists(), reason="reference repo not mounted"),
+    pytest.mark.slow,
+]
+
+SIZE = 192
+NC = 6
+
+PROTOCOL_HYP = {
+    "device": "cpu",
+    "num_class": NC,
+    "input_img_size": [SIZE, SIZE],
+    "use_tta": False,
+    "iou_threshold": 0.65,
+    "conf_threshold": 0.25,
+    "cls_threshold": 0.3,
+    "compute_metric_iou_threshold": 0.65,
+    "compute_metric_conf_threshold": 0.001,
+    "compute_metric_cls_threshold": 0.001,
+    "mutil_label": False,
+    "agnostic": True,
+    "postprocess_bbox": True,
+    "max_predictions_per_img": 300,
+    "wfb": False,
+}
+
+
+def _setup(seed, use_tta):
+    import torch
+
+    from yoloseries_tpu.evaluation.yolov5 import EvalConfig, Evaluator
+    from yoloseries_tpu.models import create_model
+    from yoloseries_tpu.ops import YOLOV5_ANCHORS
+    from yoloseries_tpu.utils.torch_import import convert_yolov5_state_dict
+
+    torch.manual_seed(seed)
+    ref_model = load_reference_model("yolov5s")(3, NC).eval()
+    params, stats = convert_yolov5_state_dict(ref_model.state_dict(), NC)
+
+    hyp = dict(PROTOCOL_HYP)
+    hyp["use_tta"] = use_tta
+    anchors_t = torch.tensor(np.asarray(YOLOV5_ANCHORS, np.float32))
+    RefEvaluator = load_reference_v5_evaluator()
+    ref_eval = RefEvaluator(ref_model, anchors_t, hyp, compute_metric=True)
+
+    model = create_model("yolov5s", num_class=NC)
+    cfg = EvalConfig(
+        conf_threshold=0.001, cls_threshold=0.001, iou_threshold=0.65,
+        num_candidates=40000,  # no preselect cap: match the oracle exactly
+        max_keep=300, class_aware=True, merge_boxes=True, use_tta=use_tta,
+    )
+    ours = Evaluator(model.apply, lambda p: _decode(p), cfg)
+
+    def _decode(preds):
+        from yoloseries_tpu.evaluation.yolov5 import decode_yolov5
+        import jax.numpy as jnp
+
+        return decode_yolov5(preds, jnp.asarray(YOLOV5_ANCHORS))
+
+    variables = {"params": params, "batch_stats": stats}
+    return ref_eval, ours, variables
+
+
+def _compare(ref_dets, our_dets, min_match=0.98):
+    """Row-match the two detection sets per image with tie tolerance."""
+    assert len(ref_dets) == len(our_dets)
+    for r, o in zip(ref_dets, our_dets):
+        r = np.zeros((0, 6), np.float32) if r is None else np.asarray(r, np.float32)
+        o = np.zeros((0, 6), np.float32) if o is None else np.asarray(o, np.float32)
+        assert abs(len(r) - len(o)) <= max(1, int(0.02 * max(len(r), 1))), (
+            f"count mismatch: ref {len(r)} vs ours {len(o)}"
+        )
+        if len(r) == 0:
+            continue
+        # greedy row matching: each ref row must have one of ours within tol
+        used = np.zeros(len(o), bool)
+        matched = 0
+        for row in r:
+            d = np.abs(o - row[None])
+            ok = (
+                (d[:, :4].max(axis=1) < 0.5)      # boxes within half a pixel
+                & (d[:, 4] < 1e-3)                 # conf
+                & (d[:, 5] < 0.5)                  # class id exact
+                & ~used
+            )
+            j = np.argmax(ok)
+            if ok[j]:
+                used[j] = True
+                matched += 1
+        assert matched >= min_match * len(r), (
+            f"only {matched}/{len(r)} reference detections matched"
+        )
+
+
+def _run_case(use_tta, seed):
+    import torch
+
+    ref_eval, ours, variables = _setup(seed, use_tta)
+    rng = np.random.default_rng(seed)
+    imgs = rng.uniform(0, 1, (2, 3, SIZE, SIZE)).astype(np.float32)
+
+    ref_out = ref_eval(torch.from_numpy(imgs))
+    ref_dets = [None if x is None else x.numpy() for x in ref_out]
+
+    dets = ours(variables, imgs.transpose(0, 2, 3, 1))
+    our_dets = ours.to_host_detections(dets)
+    _compare(ref_dets, our_dets)
+    return ref_dets, our_dets
+
+
+def test_e2e_eval_parity_protocol_thresholds():
+    ref_dets, our_dets = _run_case(use_tta=False, seed=11)
+    # at least one image must actually produce detections for this to mean
+    # anything (random weights + focal bias priors do pass the .001 gate)
+    assert any(d is not None and len(d) for d in ref_dets)
+
+
+def test_e2e_eval_parity_with_tta():
+    """Certifies the TTA merge ordering + scale/flip unmapping
+    (trainer/eval_yolov5.py:152-179) end to end."""
+    ref_dets, our_dets = _run_case(use_tta=True, seed=13)
+    assert any(d is not None and len(d) for d in ref_dets)
+
+
+def test_e2e_map_delta_under_half_point():
+    """mAP computed from both pipelines' detections against one synthetic gt
+    set: |delta| < 0.5 pt (the BASELINE.md parity bar)."""
+    from yoloseries_tpu.ops import DetectionMetrics
+
+    ref_dets, our_dets = _run_case(use_tta=False, seed=17)
+    rng = np.random.default_rng(17)
+    maps = []
+    for dets in (ref_dets, our_dets):
+        m = DetectionMetrics()
+        for i, d in enumerate(dets):
+            n = rng.integers(2, 6)
+            xy = rng.uniform(0, SIZE - 60, (n, 2))
+            wh = rng.uniform(20, 60, (n, 2))
+            gt = np.concatenate([xy, xy + wh, rng.integers(0, NC, (n, 1))], 1)
+            m.add_image(gt, d)
+        maps.append(m.compute()["map50"])
+        rng = np.random.default_rng(17)  # same gt for both pipelines
+    assert abs(maps[0] - maps[1]) < 0.005, maps

@@ -3,7 +3,8 @@
 Rebuilds models/normal/retinanet.py:7-92 + utils/layer_tools.py:555-818:
 
 * ResNet Bottleneck backbone (7x7/2 stem + 3x3/2 maxpool, layers [3,4,6,3]),
-  BN eps 1e-3 / torch-momentum 0.03, taps c3/c4/c5,
+  BN eps 1e-3 / torch-momentum 0.03 (RetinaNet._init_weights rewrites every
+  BatchNorm2d to these, retinanet.py:38-41), taps c3/c4/c5,
 * conv-only FPN: lateral 1x1 + top-down add + 3x3 smooth; P6 = 3x3/2 on c5,
   P7 = 3x3/2 on relu(P6) (RetinaNetPyramidFeatures:769-818),
 * 4-conv relu towers; cls tower conv biases initialized to the focal prior
@@ -50,6 +51,9 @@ class BottleneckBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         def bn(name):
+            # eps 1e-3 / torch momentum 0.03: RetinaNet._init_weights
+            # rewrites EVERY BatchNorm2d to these values
+            # (models/normal/retinanet.py:38-41)
             return nn.BatchNorm(
                 use_running_average=not train, momentum=0.97, epsilon=1e-3,
                 dtype=self.dtype, name=name,
