@@ -37,7 +37,13 @@ def main():
 
     from yoloseries_tpu.configs import TrainConfig, load_hyp
     from yoloseries_tpu.data.dataset import DetectionDataset, load_names
+    from yoloseries_tpu.parallel import maybe_initialize_distributed
     from yoloseries_tpu.train import Trainer
+
+    # multi-host: no-op single-process; initializes jax.distributed when
+    # JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID are set
+    # (reference contract: utils/launch.py:39-84)
+    maybe_initialize_distributed(log_fn=print)
 
     hyp = load_hyp(args.cfg) if args.cfg else {}
     if args.batch_size:

@@ -6,5 +6,5 @@ from .mesh import (
     replicate_state,
     replicated,
     shard_batch,
-    sync_batch_stats,
+    maybe_initialize_distributed,
 )

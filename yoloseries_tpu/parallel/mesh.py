@@ -11,9 +11,9 @@ utils/setup_env.py NCCL env plumbing) with single-controller JAX:
   added later without touching call sites,
 * gradient all-reduce is compiler-inserted by jit from sharding annotations
   (no DDP hooks),
-* `sync_batch_stats` pmeans BN running stats across data shards before eval,
-  matching all_reduce_norm's pre-eval sync (utils/allreduce_norm.py:91-98)
-  rather than switching to sync-BN.
+* per-replica BN stats live in train/ddp.py (`sync_replica_stats` is the
+  pre-eval all_reduce_norm equivalent, utils/allreduce_norm.py:91-98);
+  the default pjit path computes BN over the global batch so needs no sync.
 """
 
 from __future__ import annotations
@@ -30,7 +30,7 @@ __all__ = [
     "replicated",
     "shard_batch",
     "replicate_state",
-    "sync_batch_stats",
+    "maybe_initialize_distributed",
     "process_count",
     "process_index",
 ]
@@ -70,17 +70,46 @@ def replicate_state(state: Any, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
 
 
-def sync_batch_stats(batch_stats: Any):
-    """Cross-replica mean of BN running stats before evaluation.
+def maybe_initialize_distributed(log_fn=None) -> bool:
+    """Multi-host wiring: call `jax.distributed.initialize()` when launched
+    under a multi-host coordinator (the reference contract is
+    utils/launch.py:39-84's num_machines/machine_rank plumbing).
 
-    Under jit-based data parallelism with replicated params, each device
-    holds identical state, so this is only needed when training with
-    per-device BN via shard_map/pmap. With the default pjit path (params
-    replicated, batch sharded) XLA computes BN batch statistics over the
-    GLOBAL batch already; this function is then a no-op identity kept for
-    API parity with all_reduce_norm (utils/allreduce_norm.py:91).
+    Env-gated and idempotent: runs only when the standard coordination
+    variables are present (JAX_COORDINATOR_ADDRESS + JAX_NUM_PROCESSES +
+    JAX_PROCESS_ID — jax.distributed reads them natively — or a TPU-pod
+    runtime where initialize() autodetects). Single-process runs skip it,
+    exactly like the reference's world_size==1 no-op seams
+    (utils/dist.py:67-78). Returns True if initialize() was invoked.
     """
-    return batch_stats
+    import os
+
+    already = getattr(jax.distributed, "is_initialized", None)
+    if callable(already) and already():
+        return False
+    manual = all(
+        os.environ.get(k)
+        for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
+    )
+    auto = os.environ.get("YOLOSERIES_TPU_DISTRIBUTED") == "1"
+    if not (manual or auto):
+        return False
+    if manual:
+        # pass explicitly — not every jax version reads NUM_PROCESSES /
+        # PROCESS_ID from the environment
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+    else:  # TPU-pod runtime: initialize() autodetects everything
+        jax.distributed.initialize()
+    if log_fn is not None:
+        log_fn(
+            f"jax.distributed initialized: process {jax.process_index()}"
+            f"/{jax.process_count()}, {jax.local_device_count()} local devices"
+        )
+    return True
 
 
 def process_count() -> int:
