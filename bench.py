@@ -59,37 +59,126 @@ def main():
         # scalar checksum: forces full materialization at sync time
         return out, jnp.sum(out)
 
+    @jax.jit
+    def e2e_protocol(variables, img_u8):
+        """The mAP-validation configuration (config/validation.yaml:4-8):
+        conf .001 / iou .65 / f32 decode / 2048 candidates — what evaluate()
+        actually runs, reported alongside the serving number (VERDICT r1)."""
+        img = img_u8.astype(jnp.float32) / 255.0
+        preds = model.apply(variables, img, train=False)
+        decoded = decode_yolov5(preds, anchors)
+        out = postprocess_detections(
+            decoded,
+            conf_threshold=0.001,
+            cls_threshold=0.001,
+            iou_threshold=0.65,
+            num_candidates=2048,
+            max_keep=300,
+            merge_boxes=True,
+            use_pallas=use_pallas,
+        )
+        return out, jnp.sum(out)
+
+    def timed(fn, args_list, iters=12):
+        float(fn(*args_list[0])[1])  # warmup + compile
+        times = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            _, checksum = fn(*args_list[i % len(args_list)])
+            float(checksum)  # host sync
+            times.append(time.perf_counter() - t0)
+        return sorted(times)[len(times) // 2]
+
     rng = np.random.default_rng(0)
     imgs = [
-        jnp.asarray(rng.integers(0, 255, (batch, 640, 640, 3), dtype=np.uint8))
+        (variables, jnp.asarray(
+            rng.integers(0, 255, (batch, 640, 640, 3), dtype=np.uint8)))
         for _ in range(4)
     ]
 
-    # warmup + compile
-    float(e2e(variables, imgs[0])[1])
+    dt_protocol = timed(e2e_protocol, imgs)
+    protocol_img_s = batch / dt_protocol
 
-    iters = 12
-    times = []
-    for i in range(iters):
-        t0 = time.perf_counter()
-        _, checksum = e2e(variables, imgs[i % len(imgs)])
-        float(checksum)  # host sync
-        times.append(time.perf_counter() - t0)
-
-    # median of per-call times
-    dt = sorted(times)[len(times) // 2]
+    dt = timed(e2e, imgs)
     img_per_s = batch / dt
+
+    # ---- training step: fwd+assign+loss+bwd+optimizer, bf16, batch 128
+    train_img_s, mfu = _bench_train_step()
+
     baseline = 625.0  # img/s/chip (5000 img/s v5e-8 stretch / 8 chips)
-    print(
-        json.dumps(
-            {
-                "metric": "yolov5s_640_e2e_infer",
-                "value": round(img_per_s, 2),
-                "unit": "img/s/chip",
-                "vs_baseline": round(img_per_s / baseline, 4),
-            }
-        )
+    print(json.dumps({
+        "metric": "yolov5s_640_eval_protocol_infer",
+        "value": round(protocol_img_s, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(protocol_img_s / baseline, 4),
+    }))
+    print(json.dumps({
+        "metric": "yolov5s_640_train_step",
+        "value": round(train_img_s, 2),
+        "unit": "img/s/chip",
+        "mfu": round(mfu, 4),
+    }))
+    # primary (driver-parsed) line LAST: the serving configuration
+    print(json.dumps({
+        "metric": "yolov5s_640_e2e_infer",
+        "value": round(img_per_s, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_per_s / baseline, 4),
+    }))
+
+
+def _bench_train_step(batch=128, size=640, nc=80):
+    """One fused train step (grad + sgd update + EMA) throughput and an MFU
+    estimate: 3x forward GFLOPs per image (fwd + ~2x bwd) over the v5e chip's
+    197 TFLOP/s bf16 peak."""
+    import jax
+    import jax.numpy as jnp
+
+    from yoloseries_tpu.losses.yolov5 import YOLOv5LossConfig
+    from yoloseries_tpu.models import create_model
+    from yoloseries_tpu.ops import YOLOV5_ANCHORS
+    from yoloseries_tpu.train import (
+        OptimizerConfig, build_optimizer, create_train_state, make_train_step,
     )
+    from yoloseries_tpu.utils.summary import summarize_model
+
+    model = create_model("yolov5s", num_class=nc, dtype=jnp.bfloat16)
+    gflops = summarize_model(model, (1, size, size, 3))["gflops"]
+
+    cfg = OptimizerConfig(batch_size=batch, total_epochs=2, steps_per_epoch=4,
+                          do_warmup=False)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), train=False
+    )
+    tx = build_optimizer(cfg, variables["params"])
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               (1, size, size, 3))
+    loss_cfg = YOLOv5LossConfig(num_class=nc, input_size=(size, size))
+    step = make_train_step(loss_cfg, YOLOV5_ANCHORS, accumulate=1,
+                           compute_dtype=jnp.bfloat16, donate=False)
+
+    rng = np.random.default_rng(1)
+    batches = []
+    for _ in range(2):
+        img = rng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8)
+        ann = np.full((batch, 32, 6), -1, np.float32)
+        for i in range(batch):
+            ann[i, 0] = [100, 100, 400, 400, i % nc, i]
+        batches.append({"img": jnp.asarray(img), "ann": jnp.asarray(ann)})
+
+    state, m = step(state, batches[0])  # compile
+    float(m["tot_loss"])
+    times = []
+    for i in range(6):
+        t0 = time.perf_counter()
+        state, m = step(state, batches[i % 2])
+        float(m["tot_loss"])  # host sync
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    img_s = batch / dt
+    peak_flops = 197e12  # TPU v5e bf16 peak
+    mfu = (3.0 * gflops * 1e9 * img_s) / peak_flops
+    return img_s, mfu
 
 
 if __name__ == "__main__":

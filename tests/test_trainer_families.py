@@ -1,0 +1,72 @@
+"""Real-family Trainer regression tests (VERDICT round-1 item 7): every
+detector family trains through the PUBLIC Trainer on a tiny synthetic
+dataset — finite descending loss + one evaluate() pass. Slow-marked: six
+full family compiles.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from yoloseries_tpu.configs import TrainConfig
+
+pytestmark = pytest.mark.slow
+
+FAMILY_MODELS = [
+    "yolov5s",
+    "yolox_s",
+    "yolov7",
+    "yolov8",
+    "retinanet",
+    "fcos",
+]
+
+
+@pytest.fixture(scope="module")
+def tiny_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("family_data")
+    img_dir, lab_dir = root / "img", root / "lab"
+    img_dir.mkdir(), lab_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        arr = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+        arr[16:56, 16:56] = [220, 40, 40]
+        arr[60:88, 60:88] = [40, 220, 40]
+        Image.fromarray(arr).save(img_dir / f"im{i}.png")
+        (lab_dir / f"im{i}.txt").write_text("0 16 16 56 56\n1 60 60 88 88\n")
+    (root / "names.txt").write_text("0 red\n1 green\n")
+    return img_dir, lab_dir, root / "names.txt"
+
+
+@pytest.mark.parametrize("model_name", FAMILY_MODELS)
+def test_family_trains_and_evals(model_name, tiny_dirs, tmp_path):
+    from yoloseries_tpu.train import Trainer
+
+    img_dir, lab_dir, names = tiny_dirs
+    hyp = {
+        "input_img_size": [64, 64],
+        "batch_size": 4,
+        "basic_lr_per_img": 0.005,
+        "do_warmup": False,
+        "use_focal_loss": False,
+        "data_aug_mosaic_p": 0.0, "data_aug_mixup_p": 0.0,
+        "data_aug_prespective_p": 0.0, "data_aug_hsv_p": 0.0,
+        "data_aug_cutout_p": 0.0, "data_aug_fliplr_p": 0.0,
+    }
+    cfg = TrainConfig.from_hyp(
+        hyp, num_class=2, model=model_name, max_labels=8,
+        output_dir=str(tmp_path / model_name), no_aug_epochs=0,
+    )
+    tr = Trainer(cfg, (img_dir, lab_dir), val_dirs=(img_dir, lab_dir),
+                 names_path=names, log_fn=lambda *a: None)
+    try:
+        tr.train(epochs=1)
+        first = tr.meters["tot_loss"].avg
+        tr.train(epochs=3)
+        last = tr.meters["tot_loss"].avg
+        assert np.isfinite(first) and np.isfinite(last)
+        assert last < first, f"{model_name}: loss {first} -> {last}"
+        out = tr.evaluate(max_batches=1)
+        assert np.isfinite(out["map50"])
+    finally:
+        tr.train_loader.stop()

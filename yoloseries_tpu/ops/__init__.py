@@ -10,6 +10,7 @@ from .boxes import (
     xyxy2xywhn,
 )
 from .iou import ciou, diou, giou, iou, pairwise_iou
+from .preprocess import device_letterbox_normalize, letterbox_plan
 from .letterbox import (
     LetterboxInfo,
     letterbox_boxes,
