@@ -219,3 +219,32 @@ def test_crop_classifier_forward():
     v = m.init(jax.random.PRNGKey(0), x, train=False)
     logits = m.apply(v, x, train=False)
     assert logits.shape == (2, 4)
+
+
+def test_crop_classifier_dataset(tmp_path):
+    """Filename-contract parity with auxiliary_classifier_dataloader.py:20-28
+    + ImageNet normalization + drop_last batching."""
+    from PIL import Image
+    import numpy as np
+
+    from yoloseries_tpu.data.classifier_data import (
+        CropClassificationDataset, crop_classifier_batches,
+    )
+
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        arr = rng.integers(0, 255, (30 + i, 41, 3), dtype=np.uint8)
+        # reference layout: split('_')[2][5:] -> class, [3] -> label
+        Image.fromarray(arr).save(tmp_path / f"im_{i}_class{i % 3}_lab{i}_x.png")
+
+    ds = CropClassificationDataset(tmp_path, img_size=(32, 32))
+    assert len(ds) == 5
+    img, cls, lab = ds[0]
+    assert img.shape == (32, 32, 3) and img.dtype == np.float32
+    assert cls == 0 and lab == "lab0"
+
+    batches = list(crop_classifier_batches(tmp_path, (32, 32), batch_size=2,
+                                           shuffle=False))
+    assert len(batches) == 2  # drop_last
+    assert batches[0]["img"].shape == (2, 32, 32, 3)
+    assert batches[0]["cls"].tolist() == [0, 1]

@@ -99,6 +99,7 @@ class TrainConfig:
             cutout_p=hyp.get("data_aug_cutout_p", 0.3),
             cutout_iou_thr=hyp.get("data_aug_cutout_iou_thr", 0.3),
             scale_jitting_p=hyp.get("data_aug_scale_jitting_p", 0.0),
+            blur_p=hyp.get("data_aug_blur_p", 0.0),
             input_size=input_size,
         )
         loss = YOLOv5LossConfig(

@@ -57,6 +57,7 @@ class AugmentConfig:
     cutout_p: float = 0.3
     cutout_iou_thr: float = 0.3
     scale_jitting_p: float = 0.0
+    blur_p: float = 0.0
     input_size: tuple = (640, 640)  # (h, w)
 
 
@@ -322,12 +323,31 @@ def valid_boxes_mask(boxes, wh_thr=2, ar_thr=10, area_thr=16):
     )
 
 
+def random_blur(img, p, rng):
+    """5x5 mean-filter smoothing (utils/data_aug.py:317-329 RandomBlur)."""
+    if rng.random() >= p:
+        return img
+    import cv2
+
+    return cv2.blur(img, (5, 5))
+
+
+def yoco(img, aug_fn):
+    """You-Only-Cut-Once: split the image in half, augment each half
+    independently, re-join (utils/data_aug.py:392-405; the reference's
+    vertical-split branch is dead code behind `random() < 0`, so only the
+    horizontal split is live)."""
+    h = img.shape[0]
+    return np.concatenate((aug_fn(img[: h // 2]), aug_fn(img[h // 2 :])), axis=0)
+
+
 def apply_transform_chain(img, boxes, labels, cfg: AugmentConfig, rng):
     """The reference's Transforms composition (dataset/data_augument.py:1-32):
     perspective -> cutout -> HSV -> flips -> scale jitting."""
     img, boxes, labels = random_perspective(img, boxes, labels, cfg, rng)
     img, boxes, labels = cutout(img, boxes, labels, cfg.cutout_iou_thr, cfg.cutout_p, rng)
     img = random_hsv(img, cfg.hsv_p, cfg.hsv_hgain, cfg.hsv_sgain, cfg.hsv_vgain, rng)
+    img = random_blur(img, cfg.blur_p, rng)
     img, boxes = random_flip_lr(img, boxes, cfg.fliplr_p, rng)
     img, boxes = random_flip_ud(img, boxes, cfg.flipud_p, rng)
     img, boxes, labels = scale_jitting(img, boxes, labels, cfg.scale_jitting_p, rng)

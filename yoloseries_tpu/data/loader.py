@@ -164,7 +164,11 @@ class DataLoader:
                 return
             ids = range(self._sample_counter, self._sample_counter + len(chunk))
             self._sample_counter += len(chunk)
-            samples = list(self._pool.map(self._load_one, chunk, ids))
+            try:
+                samples = list(self._pool.map(self._load_one, chunk, ids))
+            except RuntimeError:
+                # pool shut down mid-map by stop(): benign exit
+                return
             batch = collate_batch(
                 samples,
                 self._input_size,
