@@ -64,12 +64,15 @@ def main(batch_size=64, workers=16, warm_batches=4, timed_batches=24):
         finally:
             loader.stop()
         img_s = timed_batches * batch_size / dt
+        import os
+
         print(json.dumps({
             "metric": "loader_train_aug",
             "value": round(img_s, 1),
             "unit": "img/s/host",
             "batch_size": batch_size,
             "workers": workers,
+            "cores": os.cpu_count(),
             "dropped_boxes": loader.dropped_boxes,
         }))
     finally:

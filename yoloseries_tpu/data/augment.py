@@ -122,12 +122,17 @@ def mosaic4(imgs, boxes_list, labels_list, mosaic_shape, fill_value, rng):
 
 
 def mixup(img1, boxes1, labels1, img2, boxes2, labels2, rng):
-    """Beta(8, 8) image blend, box union (utils/data_aug.py:709-734)."""
-    ratio = rng.beta(8.0, 8.0)
-    img = (img1.astype(np.float32) * ratio + img2.astype(np.float32) * (1 - ratio))
+    """Beta(8, 8) image blend, box union (utils/data_aug.py:709-734).
+    cv2.addWeighted does the blend in SIMD uint8 (~20x the float temporaries
+    this used to allocate at 2x-mosaic canvas sizes); it rounds where the
+    reference truncates — a <=1 LSB pixel difference inside a random aug."""
+    import cv2
+
+    ratio = float(rng.beta(8.0, 8.0))
+    img = cv2.addWeighted(img1, ratio, img2, 1.0 - ratio, 0.0)
     boxes = np.concatenate([boxes1, boxes2], axis=0)
     labels = np.concatenate([labels1, labels2], axis=0)
-    return img.astype(np.uint8), boxes, labels
+    return img, boxes, labels
 
 
 def random_perspective(img, boxes, labels, cfg: AugmentConfig, rng,

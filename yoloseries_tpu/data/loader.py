@@ -29,6 +29,25 @@ from ..ops.letterbox import letterbox_boxes, letterbox_image
 __all__ = ["infinite_indices", "collate_batch", "DataLoader"]
 
 
+# ---- process-worker plumbing (fork): the dataset is inherited by the child
+# at fork time via this module global, so nothing heavy crosses the pipe on
+# every task — only (idx, sample_id, seed) in and the augmented sample out.
+_WORKER_DATASET = None
+_WORKER_AUG = None
+
+
+def _worker_init(dataset, enable_aug):
+    global _WORKER_DATASET, _WORKER_AUG
+    _WORKER_DATASET = dataset
+    _WORKER_AUG = enable_aug
+
+
+def _worker_load(args):
+    idx, sample_id, seed, enable_aug = args
+    rng = np.random.default_rng((seed, sample_id))
+    return _WORKER_DATASET.get(idx, rng, enable_aug=enable_aug)
+
+
 def infinite_indices(size: int, seed: int, rank: int = 0, world_size: int = 1,
                      shuffle: bool = True):
     """Seeded infinite index stream, rank-sharded
@@ -103,6 +122,7 @@ class DataLoader:
         enable_aug: bool | None = None,
         prefetch: int = 2,
         device_put=None,
+        use_processes: bool | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -115,6 +135,24 @@ class DataLoader:
         self._enable_aug = (
             dataset.enable_aug if enable_aug is None else enable_aug
         )
+        # augmentation is CPU-bound numpy/cv2: Python threads serialize on
+        # the GIL, so real throughput needs PROCESS workers (the reference's
+        # torch DataLoader num_workers are processes too). Default: processes
+        # when >1 worker and fork is available; threads otherwise (tiny test
+        # datasets, platforms without fork).
+        import multiprocessing as mp
+
+        if use_processes is None:
+            use_processes = workers > 1 and mp.get_start_method(False) in (
+                "fork", None
+            )
+        self._proc_pool = None
+        if use_processes:
+            ctx = mp.get_context("fork")
+            self._proc_pool = ctx.Pool(
+                workers, initializer=_worker_init,
+                initargs=(dataset, self._enable_aug),
+            )
         self._pool = ThreadPoolExecutor(max_workers=workers)
         self._queue: Queue = Queue(maxsize=prefetch)
         self._device_put = device_put
@@ -165,8 +203,15 @@ class DataLoader:
             ids = range(self._sample_counter, self._sample_counter + len(chunk))
             self._sample_counter += len(chunk)
             try:
-                samples = list(self._pool.map(self._load_one, chunk, ids))
-            except RuntimeError:
+                if self._proc_pool is not None:
+                    samples = self._proc_pool.map(
+                        _worker_load,
+                        [(i, sid, self.seed, self._enable_aug)
+                         for i, sid in zip(chunk, ids)],
+                    )
+                else:
+                    samples = list(self._pool.map(self._load_one, chunk, ids))
+            except (RuntimeError, ValueError):
                 # pool shut down mid-map by stop(): benign exit
                 return
             batch = collate_batch(
@@ -212,4 +257,6 @@ class DataLoader:
                 self._queue.get_nowait()
         except Exception:
             pass
+        if self._proc_pool is not None:
+            self._proc_pool.terminate()
         self._pool.shutdown(wait=False)
