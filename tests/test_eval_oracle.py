@@ -128,14 +128,10 @@ def _run_case(use_tta, seed):
 
     dets = ours(variables, imgs.transpose(0, 2, 3, 1))
     our_dets = ours.to_host_detections(dets)
-    if use_tta:
-        # the 0.83/0.67 branches amplify torch-vs-TPU bilinear-resize noise:
-        # with RANDOM weights, sub-threshold junk boxes (conf ~0.003, corners
-        # far outside the image) can shift one argmax cell between backends.
-        # All in-image detections match; allow the noise tail to differ.
-        _compare(ref_dets, our_dets, min_match=0.80, box_tol=1.0)
-    else:
-        _compare(ref_dets, our_dets)
+    # strict for TTA too: scale_and_pad(antialias=False) matches the
+    # reference's F.interpolate bilinear exactly, so the scaled branches
+    # produce the same candidate sets
+    _compare(ref_dets, our_dets)
     return ref_dets, our_dets
 
 

@@ -57,7 +57,11 @@ def scale_and_pad(img, scale_factor, pad_value=0.447):
         return img
     b, h, w, c = img.shape
     nh, nw = int(scale_factor * h), int(scale_factor * w)
-    out = jax.image.resize(img, (b, nh, nw, c), method="bilinear")
+    # antialias=False: the reference's F.interpolate(bilinear,
+    # align_corners=False) does NOT antialias; jax.image.resize does by
+    # default, which materially changes downscaled TTA branches
+    out = jax.image.resize(img, (b, nh, nw, c), method="bilinear",
+                           antialias=False)
     oh = int(np.ceil(h / 32) * 32)
     ow = int(np.ceil(w / 32) * 32)
     return jnp.pad(
