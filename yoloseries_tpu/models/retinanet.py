@@ -136,7 +136,11 @@ class FPN(nn.Module):
         p3 = conv(fs, 3, 1, "p3_2")(p3)
 
         p6 = conv(fs, 3, 2, "p6")(c5)
-        p7 = conv(fs, 3, 2, "p7")(nn.relu(p6))
+        # LIVE reference behavior: RetinaNet._init_weights flips every ReLU
+        # to inplace=True (models/normal/retinanet.py:42-43), so the FPN's
+        # `p7 = self.relu(p6)` clobbers p6 — the towers consume relu(p6).
+        p6 = nn.relu(p6)
+        p7 = conv(fs, 3, 2, "p7")(p6)
         return p3, p4, p5, p6, p7
 
 
