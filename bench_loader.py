@@ -52,7 +52,8 @@ def main(batch_size=64, workers=16, warm_batches=4, timed_batches=24):
             enable_aug=True, cache_images=True, cache_dir=root / "cache",
         )
         loader = DataLoader(
-            ds, batch_size=batch_size, max_labels=120, workers=workers, seed=1
+            ds, batch_size=batch_size, max_labels=120, workers=workers, seed=1,
+            use_processes=True,  # measure the production (multi-core) path
         )
         try:
             for _ in range(warm_batches):

@@ -90,6 +90,7 @@ def test_wbf_fuses_overlapping():
     assert abs(cls0[4] - (0.9 * 2 + 0.7) / 3) < 1e-6
 
 
+@pytest.mark.slow
 def test_fold_conv_bn_matches_unfused():
     import jax
     import jax.numpy as jnp
@@ -208,6 +209,7 @@ def test_soft_nms_postprocess():
     assert valid[1, 4] < 0.85 * 0.9
 
 
+@pytest.mark.slow
 def test_crop_classifier_forward():
     import jax
     import jax.numpy as jnp

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from yoloseries_tpu.evaluation import EvalConfig, Evaluator, decode_yolov5, scale_and_pad
 from yoloseries_tpu.ops import YOLOV5_ANCHORS
@@ -8,6 +9,7 @@ from yoloseries_tpu.ops import YOLOV5_ANCHORS
 ANCHORS = jnp.asarray(YOLOV5_ANCHORS)
 
 
+@pytest.mark.slow
 def test_decode_zero_logits_golden():
     """sigmoid(0)=0.5 -> xy=(0.5+grid)*stride (cell centers), wh=anchor."""
     size, nc = 64, 3
@@ -54,6 +56,7 @@ def _toy_apply(planted_xy, planted_cls, nc=3, size=64):
     return apply_fn
 
 
+@pytest.mark.slow
 def test_evaluator_end_to_end_single_detection():
     size, nc = 64, 3
     apply_fn = _toy_apply((24, 40), planted_cls=1, nc=nc, size=size)
@@ -83,6 +86,7 @@ def test_evaluator_to_host_unletterbox():
     np.testing.assert_allclose(out[0][0, :4], [180, 200, 380, 400], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_evaluator_tta_shapes():
     size, nc = 64, 3
     apply_fn = _toy_apply((24, 40), planted_cls=0, nc=nc, size=size)
@@ -95,6 +99,7 @@ def test_evaluator_tta_shapes():
     assert (dets[0][:, 4] > 0).sum() >= 1
 
 
+@pytest.mark.slow
 def test_evaluator_wbf_tta():
     size, nc = 64, 3
     apply_fn = _toy_apply((24, 40), planted_cls=1, nc=nc, size=size)

@@ -31,6 +31,7 @@ def test_regression_ranges():
     assert r[4][0] == 512.0 and r[4][1] > 1e7
 
 
+@pytest.mark.slow
 def test_fcos_model_shapes():
     from yoloseries_tpu.models import create_model
 
@@ -50,6 +51,7 @@ def test_fcos_model_shapes():
     np.testing.assert_allclose(1 / (1 + np.exp(-b)), 0.01, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_fcos_cspnet_three_levels():
     from yoloseries_tpu.models import create_model
 
@@ -99,6 +101,7 @@ def test_fcos_loss_descends():
     assert losses[-1] < losses[0] - 0.01, losses
 
 
+@pytest.mark.slow
 def test_fcos_loss_empty_targets():
     size, nc = 128, 3
     cfg = FCOSLossConfig(num_class=nc, input_size=(size, size), image_chunk=2)
@@ -109,6 +112,7 @@ def test_fcos_loss_empty_targets():
     assert float(d["tar_nums"]) == 0
 
 
+@pytest.mark.slow
 def test_fcos_level_assignment():
     """A 48x48 box (max ltrb < 64) must land on level 0 only."""
     size, nc = 128, 2
@@ -125,6 +129,7 @@ def test_fcos_level_assignment():
     assert float(d2["tar_nums"]) > 0
 
 
+@pytest.mark.slow
 def test_decode_fcos_golden():
     size, nc = 64, 2
     cls_fms, reg_fms, ctr_fms = make_preds(1, size, nc, levels=(8, 16, 32))
@@ -136,6 +141,7 @@ def test_decode_fcos_golden():
     np.testing.assert_allclose(out[0, :, 4], 0.5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fcos_family():
     from yoloseries_tpu.families import family_of, get_family
 

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from yoloseries_tpu.losses import (
     YOLOv5LossConfig,
@@ -46,6 +47,7 @@ def test_focal_factor_range():
     assert f[-1] < f[0]
 
 
+@pytest.mark.slow
 def test_assignment_counts_hand_computed():
     """One 64x64-image target: box (0.2, 0.2, 56.2, 56.2), wh=56, center 28.2.
 
@@ -70,6 +72,7 @@ def test_assignment_counts_hand_computed():
     assert int(loss_dict["tar_nums"]) == 21
 
 
+@pytest.mark.slow
 def test_loss_padding_rows_are_ignored():
     size, nc = 64, 3
     cfg = YOLOv5LossConfig(num_class=nc, input_size=(size, size))
@@ -86,6 +89,7 @@ def test_loss_padding_rows_are_ignored():
     assert int(d1["tar_nums"]) == int(d2["tar_nums"])
 
 
+@pytest.mark.slow
 def test_loss_gradient_descends():
     """A few SGD steps on the raw prediction maps must reduce the loss."""
     size, nc = 64, 3
@@ -118,6 +122,7 @@ def test_loss_gradient_descends():
     assert all(b < a for a, b in zip(losses, losses[1:])), losses
 
 
+@pytest.mark.slow
 def test_balances_evolve_and_renormalize():
     size, nc = 64, 3
     cfg = YOLOv5LossConfig(num_class=nc, input_size=(size, size))

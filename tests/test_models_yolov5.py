@@ -20,6 +20,7 @@ def test_registry_contains_all_sizes():
         assert f"yolov5{size}" in names
 
 
+@pytest.mark.slow
 def test_yolov5s_output_shapes():
     _, _, outs = init_and_run("yolov5s", num_class=80, size=128, batch=2)
     assert len(outs) == 3
@@ -28,6 +29,7 @@ def test_yolov5s_output_shapes():
     assert outs[2].shape == (2, 4, 4, 3 * 85)
 
 
+@pytest.mark.slow
 def test_yolov5s_param_count_matches_reference():
     """The reference YOLOv5s at nc=80 has exactly 7,235,389 parameters
     (models/normal/yolov5s.py graph)."""
@@ -37,12 +39,14 @@ def test_yolov5s_param_count_matches_reference():
 
 
 @pytest.mark.parametrize("name", ["yolov5m", "yolov5s_dw", "yolov5s_plain"])
+@pytest.mark.slow
 def test_other_sizes_forward(name):
     _, _, outs = init_and_run(name, num_class=3, size=64)
     assert outs[0].shape == (1, 8, 8, 3 * 8)
     assert outs[2].shape == (1, 2, 2, 3 * 8)
 
 
+@pytest.mark.slow
 def test_detect_bias_prior():
     """Objectness bias init: log(8/(512/stride)^2) (yolov5s.py:67-76)."""
     _, variables, _ = init_and_run("yolov5s", num_class=80)
@@ -52,6 +56,7 @@ def test_detect_bias_prior():
     assert np.all(b[:, :4] == 0)
 
 
+@pytest.mark.slow
 def test_train_mode_updates_batch_stats():
     m = create_model("yolov5s", num_class=3)
     x = jnp.ones((1, 64, 64, 3))
@@ -64,6 +69,7 @@ def test_train_mode_updates_batch_stats():
     assert not np.allclose(np.asarray(old), np.asarray(new))
 
 
+@pytest.mark.slow
 def test_jit_forward():
     m, variables, _ = init_and_run("yolov5s", num_class=3, size=64)
 

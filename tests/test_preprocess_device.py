@@ -12,7 +12,9 @@ from yoloseries_tpu.ops.letterbox import letterbox_image
 @pytest.mark.parametrize(
     "src_hw,dst",
     [
-        ((480, 640), 320),    # downscale, non-square src
+        # the 480x640->320 gather is the heaviest compile in the suite;
+        # the other four geometries cover the same code path
+        pytest.param((480, 640), 320, marks=pytest.mark.slow),
         ((200, 200), 256),    # upscale
         ((331, 517), 192),    # odd sizes
         ((1, 1), 64),         # degenerate 1x1 px image

@@ -17,6 +17,7 @@ def test_pyramid_anchor_count():
     assert (wh > 0).all()
 
 
+@pytest.mark.slow
 def test_retinanet_model_shapes():
     from yoloseries_tpu.models import create_model
 
@@ -32,6 +33,7 @@ def test_retinanet_model_shapes():
     np.testing.assert_allclose(1 / (1 + np.exp(-bias)), 0.01, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_retinanet_experiment_reg_dim():
     from yoloseries_tpu.models import create_model
 
@@ -77,6 +79,7 @@ def test_retinanet_loss_descends():
     assert losses[-1] < losses[0] * 0.8, losses
 
 
+@pytest.mark.slow
 def test_retinanet_loss_empty_targets():
     nc = 4
     cfg = RetinaNetLossConfig(num_class=nc, image_chunk=2)
@@ -89,6 +92,7 @@ def test_retinanet_loss_empty_targets():
     assert float(d["cls_loss"]) > 0
 
 
+@pytest.mark.slow
 def test_retinanet_experiment_objectness():
     nc = 4
     cfg = RetinaNetLossConfig(num_class=nc, with_objectness=True, image_chunk=2)
@@ -114,6 +118,7 @@ def test_decode_retinanet_zero_deltas_recovers_anchors():
     np.testing.assert_allclose(out[0, :, 5:], 0.5)  # sigmoid(0)
 
 
+@pytest.mark.slow
 def test_family_adapter_retinanet():
     from yoloseries_tpu.families import family_of, get_family
 

@@ -3,7 +3,14 @@
 Each test's body runs in a clean subprocess (see conftest for why).
 """
 
+import pytest
+
 from conftest import run_in_clean_subprocess
+
+# every test spawns a clean-subprocess 8-device CPU mesh and compiles a full
+# train/eval step from scratch (~100 s each over the tunneled cache) — the
+# driver's dryrun covers the same path every round, so these are slow-tier
+pytestmark = pytest.mark.slow
 
 
 def test_dryrun_multichip_8():

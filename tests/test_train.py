@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from flax import linen as nn
 
 from yoloseries_tpu.losses import YOLOv5LossConfig
@@ -65,6 +66,7 @@ def build_state(accumulate=1, size=64):
     return state, step_fn
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss():
     state, step_fn = build_state()
     batch = make_batch()
@@ -77,6 +79,7 @@ def test_train_step_reduces_loss():
     assert float(state.ema_count) == 25.0
 
 
+@pytest.mark.slow
 def test_train_step_accumulation():
     state, step_fn = build_state(accumulate=2)
     batch = make_batch(batch=4)  # 2 microbatches of 2
@@ -85,6 +88,7 @@ def test_train_step_accumulation():
     assert np.isfinite(float(metrics["tot_loss"]))
 
 
+@pytest.mark.slow
 def test_ema_follows_params():
     state, step_fn = build_state()
     batch = make_batch()
@@ -126,6 +130,7 @@ def test_param_group_labels():
     assert param_group_label(("conv", "kernel"), None) == "weight"
 
 
+@pytest.mark.slow
 def test_balances_carried_in_state():
     state, step_fn = build_state()
     b0 = np.asarray(state.balances).copy()

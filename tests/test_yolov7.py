@@ -20,6 +20,7 @@ def make_preds(batch, size, nc, rng=None, scale=0.1):
     return out
 
 
+@pytest.mark.slow
 def test_yolov7_model_shapes():
     from yoloseries_tpu.models import create_model
 
@@ -37,6 +38,7 @@ def test_yolov7_model_shapes():
     np.testing.assert_allclose(b[:, 4], np.log(8 / (640 / 8) ** 2), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_yolov7_loss_subset_of_v5_candidates():
     """OTA refinement can only keep v5-matched candidates: tar_nums(v7) <=
     tar_nums(v5) on the same inputs."""
@@ -86,6 +88,7 @@ def test_yolov7_loss_descends():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_yolov7_loss_empty_targets():
     from yoloseries_tpu.losses import initial_balances
 
@@ -98,6 +101,7 @@ def test_yolov7_loss_empty_targets():
     assert float(d["tar_nums"]) == 0
 
 
+@pytest.mark.slow
 def test_yolov7_family():
     from yoloseries_tpu.families import family_of
 

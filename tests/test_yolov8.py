@@ -19,6 +19,7 @@ def make_preds(batch, size, nc, reg=16, rng=None, scale=0.1):
     return out
 
 
+@pytest.mark.slow
 def test_yolov8_model_shapes():
     from yoloseries_tpu.models import create_model
 
@@ -99,6 +100,7 @@ def test_yolov8_loss_descends():
     assert losses[-1] < losses[0] * 0.9, losses
 
 
+@pytest.mark.slow
 def test_yolov8_loss_empty_targets():
     size, nc = 64, 3
     cfg = YOLOv8LossConfig(num_class=nc, input_size=(size, size), image_chunk=2)
@@ -109,6 +111,7 @@ def test_yolov8_loss_empty_targets():
     assert float(d["tar_nums"]) == 0
 
 
+@pytest.mark.slow
 def test_yolov8_family():
     from yoloseries_tpu.families import family_of, get_family
 

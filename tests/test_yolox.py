@@ -19,6 +19,7 @@ def make_preds(batch, size, nc, rng=None, scale=0.1):
     return out
 
 
+@pytest.mark.slow
 def test_yolox_model_shapes():
     from yoloseries_tpu.models import create_model
 
@@ -34,6 +35,7 @@ def test_yolox_model_shapes():
     np.testing.assert_allclose(1 / (1 + np.exp(-bias)), 0.01, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_yolox_darknet_shapes():
     from yoloseries_tpu.models import create_model
 
@@ -56,6 +58,7 @@ def test_decode_yolox_golden():
     np.testing.assert_allclose(out[0, :, 4], 0.5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_simota_assign_centered_box():
     """A 32x32 gt centered at (32, 32) on an 8x8 grid of stride 8: candidate
     cells are those whose centers fall inside the box; dynamic-k selects at
@@ -89,6 +92,7 @@ def test_simota_assign_centered_box():
     np.testing.assert_allclose(np.asarray(tar_box)[fg], expected)
 
 
+@pytest.mark.slow
 def test_simota_no_valid_gt():
     nc = 3
     cfg = YOLOXLossConfig(num_class=nc, input_size=(64, 64))
@@ -128,6 +132,7 @@ def test_yolox_loss_finite_and_descends():
     assert losses[-1] < losses[0] * 0.9, losses
 
 
+@pytest.mark.slow
 def test_yolox_loss_empty_targets():
     size, nc = 64, 3
     cfg = YOLOXLossConfig(num_class=nc, input_size=(size, size), image_chunk=2)

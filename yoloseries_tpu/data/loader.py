@@ -141,10 +141,15 @@ class DataLoader:
         # when >1 worker and fork is available; threads otherwise (tiny test
         # datasets, platforms without fork).
         import multiprocessing as mp
+        import os
 
         if use_processes is None:
-            use_processes = workers > 1 and mp.get_start_method(False) in (
-                "fork", None
+            # processes only pay off with real parallelism: on a 1-core
+            # machine fork overhead dominates (and tests run there)
+            use_processes = (
+                workers > 1
+                and (os.cpu_count() or 1) > 1
+                and mp.get_start_method(False) in ("fork", None)
             )
         self._proc_pool = None
         if use_processes:
