@@ -26,10 +26,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from yoloseries_tpu.evaluation import decode_yolov5
+    from yoloseries_tpu.evaluation import decode_topk_yolov5
     from yoloseries_tpu.models import create_model
     from yoloseries_tpu.ops import YOLOV5_ANCHORS
-    from yoloseries_tpu.ops.nms import postprocess_detections
+    from yoloseries_tpu.ops.nms import nms_candidates
 
     batch = 256
     model = create_model("yolov5s", num_class=80, dtype=jnp.bfloat16)
@@ -43,15 +43,16 @@ def main():
     def e2e(variables, img_u8):
         img = img_u8.astype(jnp.float32) / 255.0
         preds = model.apply(variables, img, train=False)
-        # serving config: bf16 decode (halves the dominant HBM traffic,
-        # <1 px box error) + 512 NMS candidates at conf 0.25
-        decoded = decode_yolov5(preds, anchors, dtype=jnp.bfloat16)
-        out = postprocess_detections(
-            decoded.astype(jnp.float32),
-            conf_threshold=0.25,
-            cls_threshold=0.25,
+        # serving config: fused top-k candidate selection straight off the
+        # raw maps (bf16 score pass, no dense decoded tensor — saves ~3 GB
+        # of HBM traffic at batch 256) + 512 NMS candidates at conf 0.25
+        boxes, scores, cls_ids = decode_topk_yolov5(
+            preds, anchors, k=512, conf_threshold=0.25, cls_threshold=0.25,
+            dtype=jnp.bfloat16,
+        )
+        out = nms_candidates(
+            boxes, scores, cls_ids,
             iou_threshold=0.45,
-            num_candidates=512,
             max_keep=300,
             merge_boxes=True,
             use_pallas=use_pallas,
@@ -62,17 +63,17 @@ def main():
     @jax.jit
     def e2e_protocol(variables, img_u8):
         """The mAP-validation configuration (config/validation.yaml:4-8):
-        conf .001 / iou .65 / f32 decode / 2048 candidates — what evaluate()
-        actually runs, reported alongside the serving number (VERDICT r1)."""
+        conf .001 / iou .65 / f32 / 2048 candidates — what evaluate()
+        actually runs (the Evaluator's fused single-label path), reported
+        alongside the serving number (VERDICT r1)."""
         img = img_u8.astype(jnp.float32) / 255.0
         preds = model.apply(variables, img, train=False)
-        decoded = decode_yolov5(preds, anchors)
-        out = postprocess_detections(
-            decoded,
-            conf_threshold=0.001,
-            cls_threshold=0.001,
+        boxes, scores, cls_ids = decode_topk_yolov5(
+            preds, anchors, k=2048, conf_threshold=0.001, cls_threshold=0.001,
+        )
+        out = nms_candidates(
+            boxes, scores, cls_ids,
             iou_threshold=0.65,
-            num_candidates=2048,
             max_keep=300,
             merge_boxes=True,
             use_pallas=use_pallas,

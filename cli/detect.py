@@ -80,10 +80,13 @@ def main():
         raise SystemExit(f"no checkpoint under {args.ckpt_dir}")
     print(f"loaded checkpoint at step {step}")
 
+    eval_cfg = EvalConfig(conf_threshold=args.conf, cls_threshold=args.conf,
+                          iou_threshold=args.iou, merge_boxes=True)
+    select_builder = (family.make_select({}, num_class, input_size)
+                      if family.make_select else None)
     evaluator = Evaluator(
-        model.apply, decode_fn,
-        EvalConfig(conf_threshold=args.conf, cls_threshold=args.conf,
-                   iou_threshold=args.iou, merge_boxes=True),
+        model.apply, decode_fn, eval_cfg,
+        select_fn=select_builder(eval_cfg) if select_builder else None,
     )
     variables = {"params": state.ema_params}
     if state.ema_batch_stats:

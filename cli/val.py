@@ -81,7 +81,12 @@ def main():
         max_keep=hyp.get("max_predictions_per_img", 300),
         use_tta=hyp.get("use_tta", False),
     )
-    evaluator = Evaluator(model.apply, decode_fn, eval_cfg)
+    select_builder = (family.make_select(hyp, num_class, input_size)
+                      if family.make_select else None)
+    evaluator = Evaluator(
+        model.apply, decode_fn, eval_cfg,
+        select_fn=select_builder(eval_cfg) if select_builder else None,
+    )
     variables = {"params": state.ema_params}
     if state.ema_batch_stats:
         variables["batch_stats"] = state.ema_batch_stats

@@ -1,0 +1,134 @@
+"""Fused serving path (decode_topk_yolov5 + nms_candidates) must produce
+the same detections as the dense path (decode_yolov5 + postprocess_detections
+with identical thresholds). The fused path skips materializing the dense
+(B, N, 5+nc) tensor (serving-throughput optimization)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from yoloseries_tpu.evaluation import decode_topk_yolov5, decode_yolov5
+from yoloseries_tpu.ops import YOLOV5_ANCHORS, nms_candidates, postprocess_detections
+
+
+def make_preds(batch=2, size=64, nc=8, seed=3):
+    rng = np.random.default_rng(seed)
+    preds = []
+    for s in (8, 16, 32):
+        h = size // s
+        # logits ~ N(0, 2): a healthy mix of confident and gated rows
+        preds.append(jnp.asarray(
+            rng.normal(0.0, 2.0, (batch, h, h, 3 * (5 + nc))).astype(np.float32)
+        ))
+    return preds
+
+
+def run_both(conf=0.25, cls_thr=0.25, iou=0.45, k=64, max_keep=32):
+    preds = make_preds()
+    anchors = jnp.asarray(YOLOV5_ANCHORS)
+
+    dense = decode_yolov5(preds, anchors)
+    out_dense = postprocess_detections(
+        dense, conf_threshold=conf, cls_threshold=cls_thr, iou_threshold=iou,
+        num_candidates=k, max_keep=max_keep, merge_boxes=True,
+    )
+
+    boxes, scores, cls_ids = decode_topk_yolov5(
+        preds, anchors, k=k, conf_threshold=conf, cls_threshold=cls_thr,
+    )
+    out_fused = nms_candidates(
+        boxes, scores, cls_ids, iou_threshold=iou, max_keep=max_keep,
+        merge_boxes=True,
+    )
+    return np.asarray(out_dense), np.asarray(out_fused)
+
+
+def _sorted_rows(out):
+    """Valid rows sorted by (score desc, cls, x) — candidate index order may
+    differ between paths, detections must not."""
+    rows = out[out[:, 4] > 0]
+    order = np.lexsort((rows[:, 0], rows[:, 5], -rows[:, 4]))
+    return rows[order]
+
+
+def test_fused_matches_dense_serving_config():
+    out_dense, out_fused = run_both()
+    for b in range(out_dense.shape[0]):
+        d, f = _sorted_rows(out_dense[b]), _sorted_rows(out_fused[b])
+        assert d.shape == f.shape
+        np.testing.assert_allclose(d, f, rtol=1e-5, atol=1e-4)
+
+
+def test_fused_matches_dense_protocol_config():
+    out_dense, out_fused = run_both(conf=0.001, cls_thr=0.001, iou=0.65, k=256)
+    for b in range(out_dense.shape[0]):
+        d, f = _sorted_rows(out_dense[b]), _sorted_rows(out_fused[b])
+        assert d.shape == f.shape
+        np.testing.assert_allclose(d, f, rtol=1e-5, atol=1e-4)
+
+
+def test_fused_all_background():
+    """Every logit strongly negative -> zero valid candidates, no NaNs."""
+    preds = [p * 0.0 - 12.0 for p in make_preds()]
+    anchors = jnp.asarray(YOLOV5_ANCHORS)
+    boxes, scores, cls_ids = decode_topk_yolov5(
+        preds, anchors, k=32, conf_threshold=0.25, cls_threshold=0.25,
+    )
+    out = nms_candidates(boxes, scores, cls_ids, iou_threshold=0.45,
+                         max_keep=16, merge_boxes=True)
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    assert (out[..., 4] == 0).all()
+
+
+def _sorted_pair(out_dense, out_fused):
+    for b in range(out_dense.shape[0]):
+        d, f = _sorted_rows(out_dense[b]), _sorted_rows(out_fused[b])
+        assert d.shape == f.shape
+        np.testing.assert_allclose(d, f, rtol=1e-5, atol=1e-4)
+
+
+def test_fused_matches_dense_yolox():
+    from yoloseries_tpu.evaluation import decode_topk_yolox, decode_yolox
+
+    nc, size = 8, 64
+    rng = np.random.default_rng(5)
+    preds = [
+        jnp.asarray(rng.normal(0, 2.0, (2, size // s, size // s, 5 + nc))
+                    .astype(np.float32))
+        for s in (8, 16, 32)
+    ]
+    dense = decode_yolox(preds, nc)
+    out_dense = postprocess_detections(
+        dense, conf_threshold=0.25, cls_threshold=0.25, iou_threshold=0.45,
+        num_candidates=64, max_keep=32, merge_boxes=True,
+    )
+    boxes, scores, cls_ids = decode_topk_yolox(
+        preds, nc, k=64, conf_threshold=0.25, cls_threshold=0.25,
+    )
+    out_fused = nms_candidates(boxes, scores, cls_ids, iou_threshold=0.45,
+                               max_keep=32, merge_boxes=True)
+    _sorted_pair(np.asarray(out_dense), np.asarray(out_fused))
+
+
+def test_fused_matches_dense_yolov8():
+    from yoloseries_tpu.evaluation import decode_topk_yolov8, decode_yolov8
+
+    nc, size, reg = 8, 64, 16
+    rng = np.random.default_rng(7)
+    preds = [
+        jnp.asarray(rng.normal(0, 1.5, (2, size // s, size // s, 4 * reg + nc))
+                    .astype(np.float32))
+        for s in (4, 8, 16, 32)
+    ]
+    dense = decode_yolov8(preds, nc, (size, size), reg=reg)
+    out_dense = postprocess_detections(
+        dense, conf_threshold=0.25, cls_threshold=0.25, iou_threshold=0.45,
+        num_candidates=64, max_keep=32, merge_boxes=True,
+    )
+    boxes, scores, cls_ids = decode_topk_yolov8(
+        preds, nc, (size, size), k=64, conf_threshold=0.25, cls_threshold=0.25,
+        reg=reg,
+    )
+    out_fused = nms_candidates(boxes, scores, cls_ids, iou_threshold=0.45,
+                               max_keep=32, merge_boxes=True)
+    _sorted_pair(np.asarray(out_dense), np.asarray(out_fused))

@@ -49,7 +49,7 @@ PROTOCOL_HYP = {
 }
 
 
-def _setup(seed, use_tta):
+def _setup(seed, use_tta, fused=False):
     import torch
 
     from yoloseries_tpu.evaluation.yolov5 import EvalConfig, Evaluator
@@ -73,7 +73,17 @@ def _setup(seed, use_tta):
         num_candidates=40000,  # no preselect cap: match the oracle exactly
         max_keep=300, class_aware=True, merge_boxes=True, use_tta=use_tta,
     )
-    ours = Evaluator(model.apply, lambda p: _decode(p), cfg)
+    select_fn = None
+    if fused:
+        from yoloseries_tpu.evaluation.yolov5 import decode_topk_yolov5
+        import jax.numpy as jnp
+
+        anc = jnp.asarray(YOLOV5_ANCHORS)
+        select_fn = lambda preds: decode_topk_yolov5(
+            preds, anc, k=cfg.num_candidates,
+            conf_threshold=cfg.conf_threshold, cls_threshold=cfg.cls_threshold,
+        )
+    ours = Evaluator(model.apply, lambda p: _decode(p), cfg, select_fn=select_fn)
 
     def _decode(preds):
         from yoloseries_tpu.evaluation.yolov5 import decode_yolov5
@@ -116,10 +126,10 @@ def _compare(ref_dets, our_dets, min_match=0.98, box_tol=0.5):
         )
 
 
-def _run_case(use_tta, seed):
+def _run_case(use_tta, seed, fused=False):
     import torch
 
-    ref_eval, ours, variables = _setup(seed, use_tta)
+    ref_eval, ours, variables = _setup(seed, use_tta, fused=fused)
     rng = np.random.default_rng(seed)
     imgs = rng.uniform(0, 1, (2, 3, SIZE, SIZE)).astype(np.float32)
 
@@ -146,6 +156,20 @@ def test_e2e_eval_parity_with_tta():
     """Certifies the TTA merge ordering + scale/flip unmapping
     (trainer/eval_yolov5.py:152-179) end to end."""
     ref_dets, our_dets = _run_case(use_tta=True, seed=13)
+    assert any(d is not None and len(d) for d in ref_dets)
+
+
+def test_e2e_eval_parity_fused_select():
+    """The fused candidate path (decode_topk_yolov5 + nms_candidates inside
+    the Evaluator) must ALSO match the torch oracle end to end."""
+    ref_dets, our_dets = _run_case(use_tta=False, seed=11, fused=True)
+    assert any(d is not None and len(d) for d in ref_dets)
+
+
+def test_e2e_eval_parity_fused_select_tta():
+    """Fused path under TTA: per-branch selection + xyxy flip/scale
+    unmapping must match the reference's merged-dense-tensor ordering."""
+    ref_dets, our_dets = _run_case(use_tta=True, seed=13, fused=True)
     assert any(d is not None and len(d) for d in ref_dets)
 
 

@@ -20,7 +20,13 @@ import numpy as np
 from ..ops.anchors import make_grid
 from ..ops.nms import postprocess_detections
 
-__all__ = ["decode_yolov5", "EvalConfig", "Evaluator", "scale_and_pad"]
+__all__ = [
+    "decode_yolov5",
+    "decode_topk_yolov5",
+    "EvalConfig",
+    "Evaluator",
+    "scale_and_pad",
+]
 
 
 def decode_yolov5(stage_preds, anchors, strides=(8, 16, 32),
@@ -48,6 +54,94 @@ def decode_yolov5(stage_preds, anchors, strides=(8, 16, 32),
         out = jnp.concatenate([xy, wh, p[..., 4:]], axis=-1)
         outs.append(out.reshape(b, h * w * num_anchor, no))
     return jnp.concatenate(outs, axis=1)
+
+
+def decode_topk_yolov5(stage_preds, anchors, k, conf_threshold,
+                       cls_threshold, strides=(8, 16, 32),
+                       dtype=jnp.float32):
+    """Fused candidate selection + sparse decode for the serving path.
+
+    :func:`decode_yolov5` materializes the dense (B, N, 5+nc) decoded tensor
+    (~1 GB at batch 256) which the NMS front half then re-reads just to pick
+    the top-K candidates. Here the score `sigmoid(obj) * sigmoid(max cls)` is
+    computed directly on the raw NHWC maps (one HBM pass, nothing dense
+    written), top-K indices are taken per stage, and only those K rows are
+    gathered and decoded with the yolov5 box transform
+    (trainer/eval_yolov5.py:181-209). Per-stage top-K then a global top-K
+    over the 3K union selects exactly the same candidate set as a global
+    top-K over the dense tensor.
+
+    Returns:
+      boxes: (B, K, 4) xyxy in input pixels,
+      scores: (B, K) conf = obj * cls_conf, 0 for gated/padded slots,
+      cls_ids: (B, K) float class ids.
+    """
+    num_anchor = anchors.shape[1]
+    anchors_np = np.asarray(anchors)
+
+    # pass 1 — one read of the raw maps, writing only the small score
+    # plane (B, Ns; ~25 MB at batch 256 vs ~1 GB dense). Class ids are NOT
+    # computed here: a full-plane argmax is a second pass over the maps;
+    # instead the winning rows are re-read below and argmax runs on (B, K)
+    stage_scores, stage_rows = [], []
+    consts, offsets, ns_list = [], [], []
+    offset = 0
+    for si, (pred, stride) in enumerate(zip(stage_preds, strides)):
+        b, h, w, c = pred.shape
+        no = c // num_anchor
+        ns = h * w * num_anchor
+        p = pred.astype(dtype).reshape(b, ns, no)
+        obj = jax.nn.sigmoid(p[..., 4])
+        cls_logit = p[..., 5:]
+        cls_conf = obj * jax.nn.sigmoid(jnp.max(cls_logit, axis=-1))
+        valid = (obj >= conf_threshold) & (cls_conf > cls_threshold)
+        stage_scores.append(jnp.where(valid, cls_conf, 0.0).astype(jnp.float32))
+        stage_rows.append(p)
+
+        # per-index decode constants: grid x/y, anchor w/h and stride for
+        # the flattened ((y*W + x)*A + a) layout — trace-time numpy, ~500 KB
+        ii = np.arange(ns)
+        cell, a = ii // num_anchor, ii % num_anchor
+        consts.append(np.stack(
+            [
+                (cell % w).astype(np.float32),
+                (cell // w).astype(np.float32),
+                anchors_np[si][a, 0],
+                anchors_np[si][a, 1],
+                np.full(ns, float(stride), np.float32),
+            ],
+            axis=1,
+        ))
+        offsets.append(offset)
+        ns_list.append(ns)
+        offset += ns
+
+    # pass 2 — ONE global top-k over the concatenated score planes (index
+    # order identical to the dense decode_yolov5 concat), then sparse
+    # masked gathers of just the K winning rows from each stage
+    scores = jnp.concatenate(stage_scores, axis=1)  # (B, N)
+    kf = min(k, scores.shape[-1])
+    score_f, idx_f = jax.lax.top_k(scores, kf)  # (B, K)
+
+    const_all = jnp.asarray(np.concatenate(consts, axis=0), jnp.float32)
+    ck = jnp.take(const_all, idx_f, axis=0)  # (B, K, 5)
+
+    no = stage_rows[0].shape[-1]
+    rows = jnp.zeros((scores.shape[0], kf, no), dtype)
+    for si in range(len(stage_rows)):
+        local = idx_f - offsets[si]
+        in_stage = (local >= 0) & (local < ns_list[si])
+        safe = jnp.clip(local, 0, ns_list[si] - 1)
+        r = jnp.take_along_axis(stage_rows[si], safe[..., None], axis=1)
+        rows = jnp.where(in_stage[..., None], r, rows)
+
+    cls_f = jnp.argmax(rows[..., 5:], axis=-1)
+    sig = jax.nn.sigmoid(rows[..., 0:4])
+    stride_f = ck[..., 4:5]
+    xy = (sig[..., 0:2] * 2.0 - 0.5 + ck[..., 0:2]) * stride_f
+    half = ((sig[..., 2:4] * 2.0) ** 2 * ck[..., 2:4]) * 0.5
+    boxes = jnp.concatenate([xy - half, xy + half], axis=-1).astype(jnp.float32)
+    return boxes, score_f, cls_f.astype(jnp.float32)
 
 
 def scale_and_pad(img, scale_factor, pad_value=0.447):
@@ -102,10 +196,18 @@ class Evaluator:
     decode_fn(stage_preds) -> (B, N, 5+nc) pixel-space predictions.
     """
 
-    def __init__(self, apply_fn: Callable, decode_fn: Callable, cfg: EvalConfig):
+    def __init__(self, apply_fn: Callable, decode_fn: Callable, cfg: EvalConfig,
+                 select_fn: Callable | None = None):
+        """``select_fn(stage_preds) -> (boxes_xyxy, scores, cls_ids)`` is the
+        fused candidate-selection path (e.g. a partial of
+        :func:`decode_topk_yolov5`): when given and ``multi_label`` is off,
+        the evaluator skips the dense decoded tensor entirely. Candidate
+        sets are identical to the dense path (see tests/test_decode_topk.py).
+        """
         self.apply_fn = apply_fn
         self.decode_fn = decode_fn
         self.cfg = cfg
+        self.select_fn = select_fn if not cfg.multi_label else None
         self._jitted = jax.jit(self._run)
         self._jitted_branches = jax.jit(self._run_tta_branches)
 
@@ -147,8 +249,60 @@ class Evaluator:
             nms_mode=self.cfg.nms_mode,
         )
 
+    # ---- fused candidate path (select_fn): no dense decoded tensor ----
+    def _select(self, variables, img):
+        preds = self.apply_fn(variables, img, train=False)
+        return self.select_fn(preds)
+
+    @staticmethod
+    def _adjust_boxes(boxes, s, f, img_h, img_w):
+        """Undo a TTA branch's scale/flip on xyxy candidate boxes (the dense
+        path adjusts centers pre-corner-conversion; corners swap on mirror)."""
+        boxes = boxes / s if s != 1.0 else boxes
+        x0, y0, x1, y1 = (boxes[..., i] for i in range(4))
+        if f == 1:  # flipped along H -> mirror y, corners swap
+            y0, y1 = img_h - y1, img_h - y0
+        if f == 2:  # flipped along W -> mirror x
+            x0, x1 = img_w - x1, img_w - x0
+        return jnp.stack([x0, y0, x1, y1], axis=-1)
+
+    def _select_tta(self, variables, img):
+        b, img_h, img_w, _ = img.shape
+        bs, ss, cs = [], [], []
+        for s, f in zip(self.cfg.tta_scales, self.cfg.tta_flips):
+            x = jnp.flip(img, axis=f) if f is not None else img
+            x = scale_and_pad(x, s)
+            boxes, scores, cls_ids = self._select(variables, x)
+            bs.append(self._adjust_boxes(boxes, s, f, img_h, img_w))
+            ss.append(scores)
+            cs.append(cls_ids)
+        return (jnp.concatenate(bs, axis=1), jnp.concatenate(ss, axis=1),
+                jnp.concatenate(cs, axis=1))
+
+    def _post_candidates(self, boxes, scores, cls_ids):
+        use_pallas = self.cfg.use_pallas_nms
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        from ..ops.nms import nms_candidates
+
+        return nms_candidates(
+            boxes, scores, cls_ids,
+            iou_threshold=self.cfg.iou_threshold,
+            max_keep=self.cfg.max_keep,
+            class_aware=self.cfg.class_aware,
+            merge_boxes=self.cfg.merge_boxes,
+            use_pallas=use_pallas,
+            nms_mode=self.cfg.nms_mode,
+        )
+
     def _run(self, variables, img):
         img = img.astype(jnp.float32)
+        if self.select_fn is not None:
+            if self.cfg.use_tta:
+                boxes, scores, cls_ids = self._select_tta(variables, img)
+            else:
+                boxes, scores, cls_ids = self._select(variables, img)
+            return self._post_candidates(boxes, scores, cls_ids)
         if self.cfg.use_tta:
             preds = self._infer_tta(variables, img)
         else:
@@ -164,6 +318,11 @@ class Evaluator:
         for s, f in zip(self.cfg.tta_scales, self.cfg.tta_flips):
             x = jnp.flip(img, axis=f) if f is not None else img
             x = scale_and_pad(x, s)
+            if self.select_fn is not None:
+                boxes, scores, cls_ids = self._select(variables, x)
+                boxes = self._adjust_boxes(boxes, s, f, img_h, img_w)
+                outs.append(self._post_candidates(boxes, scores, cls_ids))
+                continue
             p = self._infer(variables, x)
             p = p.at[..., 0:4].set(p[..., 0:4] / s)
             if f == 1:

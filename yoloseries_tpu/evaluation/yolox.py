@@ -7,8 +7,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["decode_yolox"]
+__all__ = ["decode_yolox", "decode_topk_yolox"]
 
 
 def decode_yolox(stage_preds, num_class: int, strides=(8, 16, 32),
@@ -28,3 +29,65 @@ def decode_yolox(stage_preds, num_class: int, strides=(8, 16, 32),
         out = jnp.concatenate([xy, wh, rest], axis=-1)
         outs.append(out.reshape(b, h * w * num_anchor, no))
     return jnp.concatenate(outs, axis=1)
+
+
+def decode_topk_yolox(stage_preds, num_class: int, k: int, conf_threshold,
+                      cls_threshold, strides=(8, 16, 32), num_anchor: int = 1,
+                      dtype=jnp.float32):
+    """Fused candidate selection + sparse decode (serving path).
+
+    Same structure as :func:`yoloseries_tpu.evaluation.decode_topk_yolov5`:
+    score `sigmoid(obj) * sigmoid(max cls)` straight off the raw maps, one
+    global top-k over the stage-concatenated score planes (index order
+    identical to :func:`decode_yolox`), then sparse gathers of the K winning
+    rows. Returns (boxes_xyxy (B,K,4), scores (B,K), cls_ids (B,K))."""
+    no = 5 + num_class
+    stage_scores, stage_rows = [], []
+    consts, offsets, ns_list = [], [], []
+    offset = 0
+    for pred, stride in zip(stage_preds, strides):
+        b, h, w, c = pred.shape
+        ns = h * w * num_anchor
+        p = pred.astype(dtype).reshape(b, ns, no)
+        obj = jax.nn.sigmoid(p[..., 4])
+        cls_logit = p[..., 5:]
+        cls_conf = obj * jax.nn.sigmoid(jnp.max(cls_logit, axis=-1))
+        valid = (obj >= conf_threshold) & (cls_conf > cls_threshold)
+        stage_scores.append(jnp.where(valid, cls_conf, 0.0).astype(jnp.float32))
+        stage_rows.append(p)
+
+        ii = np.arange(ns)
+        cell = ii // num_anchor
+        consts.append(np.stack(
+            [
+                (cell % w).astype(np.float32),
+                (cell // w).astype(np.float32),
+                np.full(ns, float(stride), np.float32),
+            ],
+            axis=1,
+        ))
+        offsets.append(offset)
+        ns_list.append(ns)
+        offset += ns
+
+    scores = jnp.concatenate(stage_scores, axis=1)
+    kf = min(k, scores.shape[-1])
+    score_f, idx_f = jax.lax.top_k(scores, kf)
+
+    const_all = jnp.asarray(np.concatenate(consts, axis=0), jnp.float32)
+    ck = jnp.take(const_all, idx_f, axis=0)  # (B, K, 3)
+
+    rows = jnp.zeros((scores.shape[0], kf, no), dtype)
+    for si in range(len(stage_rows)):
+        local = idx_f - offsets[si]
+        in_stage = (local >= 0) & (local < ns_list[si])
+        safe = jnp.clip(local, 0, ns_list[si] - 1)
+        r = jnp.take_along_axis(stage_rows[si], safe[..., None], axis=1)
+        rows = jnp.where(in_stage[..., None], r, rows)
+
+    cls_f = jnp.argmax(rows[..., 5:], axis=-1)
+    stride_f = ck[..., 2:3]
+    xy = (rows[..., 0:2] + ck[..., 0:2]) * stride_f
+    half = jnp.exp(jnp.clip(rows[..., 2:4], -20.0, 20.0)) * stride_f * 0.5
+    boxes = jnp.concatenate([xy - half, xy + half], axis=-1).astype(jnp.float32)
+    return boxes, score_f, cls_f.astype(jnp.float32)

@@ -36,6 +36,10 @@ class Family:
     name: str
     make_loss: Callable  # (hyp, num_class, input_size) -> (loss_fn, balances0)
     make_decode: Callable  # (hyp, num_class, input_size) -> decode_fn
+    # optional fused candidate selection: (hyp, num_class, input_size) ->
+    # (eval_cfg -> select_fn), where select_fn(stage_preds) returns
+    # (boxes_xyxy, scores, cls_ids) without a dense decoded tensor
+    make_select: Callable | None = None
 
 
 def _yolov5_family():
@@ -67,7 +71,22 @@ def _yolov5_family():
         anchors = jnp.asarray(YOLOV5_ANCHORS)
         return lambda preds: decode_yolov5(preds, anchors)
 
-    return Family("yolov5", make_loss, make_decode)
+    def make_select(hyp, num_class, input_size):
+        from .evaluation.yolov5 import decode_topk_yolov5
+
+        anchors = jnp.asarray(YOLOV5_ANCHORS)
+
+        def builder(eval_cfg):
+            return lambda preds: decode_topk_yolov5(
+                preds, anchors,
+                k=eval_cfg.num_candidates,
+                conf_threshold=eval_cfg.conf_threshold,
+                cls_threshold=eval_cfg.cls_threshold,
+            )
+
+        return builder
+
+    return Family("yolov5", make_loss, make_decode, make_select)
 
 
 def _yolox_family():
@@ -97,7 +116,20 @@ def _yolox_family():
 
         return lambda preds: decode_yolox(preds, num_class)
 
-    return Family("yolox", make_loss, make_decode)
+    def make_select(hyp, num_class, input_size):
+        from .evaluation.yolox import decode_topk_yolox
+
+        def builder(eval_cfg):
+            return lambda preds: decode_topk_yolox(
+                preds, num_class,
+                k=eval_cfg.num_candidates,
+                conf_threshold=eval_cfg.conf_threshold,
+                cls_threshold=eval_cfg.cls_threshold,
+            )
+
+        return builder
+
+    return Family("yolox", make_loss, make_decode, make_select)
 
 
 def _retinanet_family(with_objectness: bool):
@@ -168,7 +200,23 @@ def _yolov7_family():
             list(preds.values()) if isinstance(preds, dict) else preds, anchors
         )
 
-    return Family("yolov7", make_loss, make_decode)
+    def make_select(hyp, num_class, input_size):
+        from .evaluation.yolov5 import decode_topk_yolov5
+
+        anchors = jnp.asarray(YOLOV5_ANCHORS)
+
+        def builder(eval_cfg):
+            return lambda preds: decode_topk_yolov5(
+                list(preds.values()) if isinstance(preds, dict) else preds,
+                anchors,
+                k=eval_cfg.num_candidates,
+                conf_threshold=eval_cfg.conf_threshold,
+                cls_threshold=eval_cfg.cls_threshold,
+            )
+
+        return builder
+
+    return Family("yolov7", make_loss, make_decode, make_select)
 
 
 def _yolov8_family():
@@ -202,7 +250,23 @@ def _yolov8_family():
         reg = hyp.get("reg", 16)
         return lambda preds: decode_yolov8(preds, num_class, input_size, reg=reg)
 
-    return Family("yolov8", make_loss, make_decode)
+    def make_select(hyp, num_class, input_size):
+        from .evaluation.yolov8 import decode_topk_yolov8
+
+        reg = hyp.get("reg", 16)
+
+        def builder(eval_cfg):
+            return lambda preds: decode_topk_yolov8(
+                preds, num_class, input_size,
+                k=eval_cfg.num_candidates,
+                conf_threshold=eval_cfg.conf_threshold,
+                cls_threshold=eval_cfg.cls_threshold,
+                reg=reg,
+            )
+
+        return builder
+
+    return Family("yolov8", make_loss, make_decode, make_select)
 
 
 def _fcos_family():

@@ -21,6 +21,7 @@ from .kmeans_anchors import kmeans_anchors
 from .metrics import ConfusionMatrix, DetectionMetrics, compute_ap, compute_tp, pairwise_iou_np
 from .nms import (
     greedy_nms,
+    nms_candidates,
     postprocess_detections,
     select_topk_candidates,
     soft_nms,

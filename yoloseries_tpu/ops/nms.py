@@ -30,6 +30,7 @@ __all__ = [
     "soft_nms",
     "select_topk_candidates",
     "postprocess_detections",
+    "nms_candidates",
 ]
 
 # Class-aware NMS trick: shift each class's boxes into a disjoint coordinate
@@ -200,6 +201,44 @@ def postprocess_detections(
         boxes_k = jnp.take_along_axis(boxes, idx[..., None], axis=1)
         cls_k = jnp.take_along_axis(cls_id, idx, axis=1)
 
+    out = nms_candidates(
+        boxes_k, score_k, cls_k,
+        iou_threshold=iou_threshold,
+        max_keep=max_keep,
+        class_aware=class_aware,
+        merge_boxes=merge_boxes,
+        use_pallas=use_pallas,
+        nms_mode=nms_mode,
+    )
+    return out[0] if single else out
+
+
+def nms_candidates(
+    boxes_k,
+    score_k,
+    cls_k,
+    iou_threshold,
+    max_keep=300,
+    class_aware=True,
+    merge_boxes=True,
+    use_pallas=False,
+    nms_mode="greedy",
+):
+    """NMS + supporter-count merge over pre-selected candidates.
+
+    The second half of :func:`postprocess_detections`, exposed so callers
+    that select candidates straight from the raw prediction maps (the fused
+    serving path, :func:`yoloseries_tpu.evaluation.decode_topk_yolov5`) can
+    skip materializing the dense decoded tensor.
+
+    Args:
+      boxes_k: (B, K, 4) xyxy candidate boxes.
+      score_k: (B, K) confidences, 0 for dead slots, sorted or not.
+      cls_k:   (B, K) float class ids.
+
+    Returns (B, max_keep, 6) [xmin, ymin, xmax, ymax, conf, cls]; invalid
+    slots have conf 0.
+    """
     if class_aware:
         offset = cls_k * CLASS_OFFSET
     else:
@@ -250,7 +289,6 @@ def postprocess_detections(
         n_support = jnp.sum(support, axis=-1)
         out_scores = jnp.where(n_support > 1, out_scores, 0.0)
 
-    out = jnp.concatenate(
+    return jnp.concatenate(
         [out_boxes, out_scores[..., None], out_cls[..., None]], axis=-1
     )
-    return out[0] if single else out

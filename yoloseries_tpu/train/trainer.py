@@ -176,7 +176,14 @@ class Trainer:
 
         self.batch_shard = batch_sharding(self.mesh)
         self.meters = MeterBuffer()
-        self.evaluator = Evaluator(self.model.apply, decode_fn, cfg.eval)
+        select_builder = (
+            self.family.make_select(cfg.hyp, self.num_class, cfg.input_size)
+            if self.family.make_select else None
+        )
+        self.evaluator = Evaluator(
+            self.model.apply, decode_fn, cfg.eval,
+            select_fn=select_builder(cfg.eval) if select_builder else None,
+        )
         self.start_epoch = 0
         self.ckpt_dir = Path(cfg.output_dir) / "checkpoints"
 
@@ -195,6 +202,10 @@ class Trainer:
                 self.log(f"tensorboard disabled: {err}")
         self._profile_steps = cfg.hyp.get("enable_profiler", 0)
         self._profile_dir = str(Path(cfg.output_dir) / "profile")
+        # in-epoch progress line every save_log_every iterations
+        # (train_yolov5.py:409-417 update_logger)
+        self._log_every = int(cfg.hyp.get("save_log_every", 50) or 0)
+        self._train_t0 = None
 
         # header: formatted config + model summary into the per-rank log
         # (train_yolov5.py:132-150 behavior)
@@ -249,6 +260,38 @@ class Trainer:
             "ann": jax.device_put(batch["ann"], self.batch_shard),
         }
 
+    def _current_lr(self, global_it: int) -> float:
+        """Host-side mirror of the 'other'-group schedule (optim.py
+        _group_schedule): linear warmup from 0, then epoch-factor decay."""
+        from .optim import lr_schedule_factor
+
+        oc = self.cfg.optim
+        epoch = global_it // max(oc.steps_per_epoch, 1)
+        base = oc.lr * float(lr_schedule_factor(oc, epoch))
+        if oc.warmup_steps > 0 and global_it < oc.warmup_steps:
+            return oc.lr * global_it / oc.warmup_steps
+        return base
+
+    def _log_progress(self, epoch, total, it, global_it, batch):
+        """Periodic in-epoch progress line (train_yolov5.py:409-417): percent
+        of the whole run, losses, lr, iteration/data time, input size, ETA."""
+        total_iters = total * self.steps_per_epoch
+        done = global_it + 1
+        iter_t = self.meters["iter_time"].avg
+        eta_s = (total_iters - done) * iter_t if iter_t else 0.0
+        eta = time.strftime("%H:%M:%S", time.gmtime(min(eta_s, 86399)))
+        if eta_s >= 86400:
+            eta = f"{int(eta_s // 86400)}d {eta}"
+        self.log(
+            f"[{epoch + 1:>3d}/{total}] {done / total_iters:6.2%} "
+            f"it {it + 1}/{self.steps_per_epoch} "
+            f"loss {self.meters['tot_loss'].latest:.3f} "
+            f"lr {self._current_lr(global_it):.3e} "
+            f"size {batch['img'].shape[1]} "
+            f"iter {iter_t:.3f}s data {self.meters['data_time'].avg:.3f}s "
+            f"eta {eta}"
+        )
+
     def train(self, epochs: int | None = None, eval_fn=None):
         cfg = self.cfg
         total = epochs or cfg.total_epochs
@@ -290,6 +333,8 @@ class Trainer:
                 if self._profile_steps and global_it == 1 + self._profile_steps:
                     jax.profiler.stop_trace()
                     self.log(f"profiler trace saved to {self._profile_dir}")
+                if self._log_every and (global_it + 1) % self._log_every == 0:
+                    self._log_progress(epoch, total, it, global_it, batch)
             step = int(self.state.step)
             parts = " ".join(
                 f"{k.replace('_loss', '')} {self.meters[k].avg:.3f}"
