@@ -132,3 +132,53 @@ def test_fused_matches_dense_yolov8():
     out_fused = nms_candidates(boxes, scores, cls_ids, iou_threshold=0.45,
                                max_keep=32, merge_boxes=True)
     _sorted_pair(np.asarray(out_dense), np.asarray(out_fused))
+
+
+def test_fused_matches_dense_retinanet():
+    from yoloseries_tpu.evaluation import decode_retinanet, decode_topk_retinanet
+    from yoloseries_tpu.ops import pyramid_anchors
+
+    nc = 6
+    anchors = jnp.asarray(pyramid_anchors(np.array([64, 64])))
+    A = anchors.shape[0]
+    rng = np.random.default_rng(9)
+    reg = jnp.asarray(rng.normal(0, 1.0, (2, A, 5)).astype(np.float32))
+    cls = jnp.asarray(rng.normal(0, 2.0, (2, A, nc)).astype(np.float32))
+
+    dense = decode_retinanet(reg, cls, anchors)
+    out_dense = postprocess_detections(
+        dense, conf_threshold=0.05, cls_threshold=0.3, iou_threshold=0.45,
+        num_candidates=64, max_keep=32, merge_boxes=True,
+    )
+    boxes, scores, cls_ids = decode_topk_retinanet(
+        reg, cls, anchors, k=64, conf_threshold=0.05, cls_threshold=0.3,
+    )
+    out_fused = nms_candidates(boxes, scores, cls_ids, iou_threshold=0.45,
+                               max_keep=32, merge_boxes=True)
+    _sorted_pair(np.asarray(out_dense), np.asarray(out_fused))
+
+
+def test_fused_matches_dense_fcos():
+    from yoloseries_tpu.evaluation import decode_fcos, decode_topk_fcos
+
+    nc, size = 5, 64
+    rng = np.random.default_rng(11)
+    cls_fms, reg_fms, ctr_fms = [], [], []
+    for s in (8, 16, 32):
+        h = size // s
+        cls_fms.append(jnp.asarray(rng.normal(0, 2.0, (2, h, h, nc)).astype(np.float32)))
+        reg_fms.append(jnp.asarray(np.abs(rng.normal(0, 1.0, (2, h, h, 4))).astype(np.float32)))
+        ctr_fms.append(jnp.asarray(rng.normal(0, 1.0, (2, h, h, 1)).astype(np.float32)))
+
+    dense = decode_fcos(cls_fms, reg_fms, ctr_fms, (size, size))
+    out_dense = postprocess_detections(
+        dense, conf_threshold=0.2, cls_threshold=0.2, iou_threshold=0.45,
+        num_candidates=64, max_keep=32, merge_boxes=True,
+    )
+    boxes, scores, cls_ids = decode_topk_fcos(
+        cls_fms, reg_fms, ctr_fms, (size, size), k=64,
+        conf_threshold=0.2, cls_threshold=0.2,
+    )
+    out_fused = nms_candidates(boxes, scores, cls_ids, iou_threshold=0.45,
+                               max_keep=32, merge_boxes=True)
+    _sorted_pair(np.asarray(out_dense), np.asarray(out_fused))

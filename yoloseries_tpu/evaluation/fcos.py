@@ -7,7 +7,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["decode_fcos"]
+__all__ = ["decode_fcos", "decode_topk_fcos"]
 
 
 def decode_fcos(cls_fms, reg_fms, ctr_fms, input_size):
@@ -37,3 +37,70 @@ def decode_fcos(cls_fms, reg_fms, ctr_fms, input_size):
             )
         )
     return jnp.concatenate(outs, axis=1)
+
+
+def decode_topk_fcos(cls_fms, reg_fms, ctr_fms, input_size, k: int,
+                     conf_threshold, cls_threshold):
+    """Fused candidate selection + sparse ltrb decode (serving path).
+
+    Score `sigmoid(ctr) * sigmoid(max cls logit)` per level, one global
+    top-k over the level-concatenated score planes (same index order as
+    :func:`decode_fcos`), then the grid-center ltrb transform on only the
+    K winning rows. Returns (boxes_xyxy, scores, cls_ids)."""
+    import numpy as np
+
+    level_scores, level_cls, level_reg = [], [], []
+    consts, offsets, ns_list = [], [], []
+    offset = 0
+    for cls_l, reg_l, ctr_l in zip(cls_fms, reg_fms, ctr_fms):
+        b, h, w, nc = cls_l.shape
+        stride = input_size[0] / h
+        ns = h * w
+        cls_logit = cls_l.astype(jnp.float32).reshape(b, ns, nc)
+        obj = jax.nn.sigmoid(ctr_l.astype(jnp.float32).reshape(b, ns))
+        cls_conf = obj * jax.nn.sigmoid(jnp.max(cls_logit, axis=-1))
+        valid = (obj >= conf_threshold) & (cls_conf > cls_threshold)
+        level_scores.append(jnp.where(valid, cls_conf, 0.0))
+        level_cls.append(cls_logit)
+        level_reg.append(reg_l.astype(jnp.float32).reshape(b, ns, 4))
+
+        ii = np.arange(ns)
+        consts.append(np.stack(
+            [
+                (ii % w).astype(np.float32) * stride + stride // 2,
+                (ii // w).astype(np.float32) * stride + stride // 2,
+                np.full(ns, float(stride), np.float32),
+            ],
+            axis=1,
+        ))
+        offsets.append(offset)
+        ns_list.append(ns)
+        offset += ns
+
+    scores = jnp.concatenate(level_scores, axis=1)
+    kf = min(k, scores.shape[-1])
+    score_f, idx_f = jax.lax.top_k(scores, kf)
+
+    const_all = jnp.asarray(np.concatenate(consts, axis=0), jnp.float32)
+    ck = jnp.take(const_all, idx_f, axis=0)  # (B, K, 3)
+
+    nc = level_cls[0].shape[-1]
+    cls_rows = jnp.zeros((scores.shape[0], kf, nc), jnp.float32)
+    reg_rows = jnp.zeros((scores.shape[0], kf, 4), jnp.float32)
+    for si in range(len(level_cls)):
+        local = idx_f - offsets[si]
+        in_stage = (local >= 0) & (local < ns_list[si])
+        safe = jnp.clip(local, 0, ns_list[si] - 1)
+        c = jnp.take_along_axis(level_cls[si], safe[..., None], axis=1)
+        r = jnp.take_along_axis(level_reg[si], safe[..., None], axis=1)
+        cls_rows = jnp.where(in_stage[..., None], c, cls_rows)
+        reg_rows = jnp.where(in_stage[..., None], r, reg_rows)
+
+    cls_f = jnp.argmax(cls_rows, axis=-1)
+    ltrb = reg_rows * ck[..., 2:3]
+    x1 = ck[..., 0] - ltrb[..., 0]
+    y1 = ck[..., 1] - ltrb[..., 1]
+    x2 = ck[..., 0] + ltrb[..., 2]
+    y2 = ck[..., 1] + ltrb[..., 3]
+    boxes = jnp.stack([x1, y1, x2, y2], axis=-1)
+    return boxes, score_f, cls_f.astype(jnp.float32)

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..ops.boxes import xyxy2xywh
 
-__all__ = ["decode_retinanet"]
+__all__ = ["decode_retinanet", "decode_topk_retinanet"]
 
 
 def decode_retinanet(regression, classification, anchors,
@@ -37,3 +37,40 @@ def decode_retinanet(regression, classification, anchors,
     return jnp.concatenate(
         [jnp.stack([cx, cy, w, h, obj], axis=-1), cls], axis=-1
     )
+
+
+def decode_topk_retinanet(regression, classification, anchors, k: int,
+                          conf_threshold, cls_threshold,
+                          delta_scales=(0.1, 0.1, 0.2, 0.2)):
+    """Fused candidate selection + sparse delta decode (serving path).
+
+    Score `obj * sigmoid(max cls logit)` on the raw (B, A, nc) logits, one
+    top-k (same index order as :func:`decode_retinanet`), then the anchor
+    delta transform on only the K winning rows — the dense path materializes
+    all ~77k anchors per image. Returns (boxes_xyxy, scores, cls_ids)."""
+    reg = regression.astype(jnp.float32)
+    if reg.shape[-1] == 5:
+        obj = jax.nn.sigmoid(reg[..., 4])
+    else:
+        obj = jnp.ones_like(reg[..., 0])
+    cls_logit = classification.astype(jnp.float32)
+    cls_conf = obj * jax.nn.sigmoid(jnp.max(cls_logit, axis=-1))
+    valid = (obj >= conf_threshold) & (cls_conf > cls_threshold)
+    scores = jnp.where(valid, cls_conf, 0.0)
+
+    kf = min(k, scores.shape[-1])
+    score_f, idx_f = jax.lax.top_k(scores, kf)
+
+    reg_k = jnp.take_along_axis(reg[..., 0:4], idx_f[..., None], axis=1)
+    cls_k = jnp.take_along_axis(cls_logit, idx_f[..., None], axis=1)
+    cls_f = jnp.argmax(cls_k, axis=-1)
+
+    a_xywh = xyxy2xywh(anchors.astype(jnp.float32))  # (A, 4)
+    ak = jnp.take(a_xywh, idx_f, axis=0)  # (B, K, 4)
+    d = reg_k * jnp.asarray(delta_scales)
+    cx = d[..., 0] * ak[..., 2] + ak[..., 0]
+    cy = d[..., 1] * ak[..., 3] + ak[..., 1]
+    hw = jnp.exp(jnp.clip(d[..., 2], -20.0, 20.0)) * ak[..., 2] * 0.5
+    hh = jnp.exp(jnp.clip(d[..., 3], -20.0, 20.0)) * ak[..., 3] * 0.5
+    boxes = jnp.stack([cx - hw, cy - hh, cx + hw, cy + hh], axis=-1)
+    return boxes, score_f, cls_f.astype(jnp.float32)

@@ -164,7 +164,25 @@ def _retinanet_family(with_objectness: bool):
         scales = tuple(hyp.get("tar_box_scale_factor", (0.1, 0.1, 0.2, 0.2)))
         return lambda preds: decode_retinanet(preds[0], preds[1], anchors, scales)
 
-    return Family("retinanet", make_loss, make_decode)
+    def make_select(hyp, num_class, input_size):
+        from .evaluation.retinanet import decode_topk_retinanet
+
+        anchors = jnp.asarray(pyramid_anchors(np.asarray(input_size)))
+        scales = tuple(hyp.get("tar_box_scale_factor", (0.1, 0.1, 0.2, 0.2)))
+
+        def builder(eval_cfg):
+            return lambda preds: decode_topk_retinanet(
+                preds[0], preds[1], anchors,
+                k=eval_cfg.num_candidates,
+                conf_threshold=eval_cfg.conf_threshold,
+                cls_threshold=eval_cfg.cls_threshold,
+                delta_scales=scales,
+            )
+
+        return builder
+
+    name = "retinanet_experiment" if with_objectness else "retinanet"
+    return Family(name, make_loss, make_decode, make_select)
 
 
 def _yolov7_family():
@@ -301,7 +319,20 @@ def _fcos_family():
 
         return lambda preds: decode_fcos(preds[0], preds[1], preds[2], input_size)
 
-    return Family("fcos", make_loss, make_decode)
+    def make_select(hyp, num_class, input_size):
+        from .evaluation.fcos import decode_topk_fcos
+
+        def builder(eval_cfg):
+            return lambda preds: decode_topk_fcos(
+                preds[0], preds[1], preds[2], input_size,
+                k=eval_cfg.num_candidates,
+                conf_threshold=eval_cfg.conf_threshold,
+                cls_threshold=eval_cfg.cls_threshold,
+            )
+
+        return builder
+
+    return Family("fcos", make_loss, make_decode, make_select)
 
 
 _FAMILIES: dict[str, Family] = {}
