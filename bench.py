@@ -80,15 +80,26 @@ def main():
         )
         return out, jnp.sum(out)
 
-    def timed(fn, args_list, iters=12):
+    def timed(fn, args_list, iters=16):
+        """Sustained pipelined throughput: two batches in flight, each
+        iteration syncs the PREVIOUS call's checksum after submitting the
+        next. Overlaps the host->relay dispatch latency (~30 ms on the
+        tunneled chip, measured via a (8,)-sum floor probe) with device
+        compute, like any serving frontend would. Every checksum is still
+        pulled (one step delayed), so all work provably executes."""
         float(fn(*args_list[0])[1])  # warmup + compile
+        pending = None
         times = []
         for i in range(iters):
             t0 = time.perf_counter()
             _, checksum = fn(*args_list[i % len(args_list)])
-            float(checksum)  # host sync
+            if pending is not None:
+                float(pending)  # sync call i-1 while call i runs
+            pending = checksum
             times.append(time.perf_counter() - t0)
-        return sorted(times)[len(times) // 2]
+        float(pending)
+        # median of steady-state (skip the first, unpipelined iteration)
+        return sorted(times[1:])[len(times[1:]) // 2]
 
     rng = np.random.default_rng(0)
     imgs = [
@@ -169,13 +180,20 @@ def _bench_train_step(batch=128, size=640, nc=80):
 
     state, m = step(state, batches[0])  # compile
     float(m["tot_loss"])
+    # pipelined: sync the previous step's loss after submitting the next —
+    # steps already serialize on the device through the state dependency,
+    # this only overlaps the host->relay dispatch latency with compute
+    pending = None
     times = []
-    for i in range(6):
+    for i in range(8):
         t0 = time.perf_counter()
         state, m = step(state, batches[i % 2])
-        float(m["tot_loss"])  # host sync
+        if pending is not None:
+            float(pending)
+        pending = m["tot_loss"]
         times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]
+    float(pending)
+    dt = sorted(times[1:])[len(times[1:]) // 2]
     img_s = batch / dt
     peak_flops = 197e12  # TPU v5e bf16 peak
     mfu = (3.0 * gflops * 1e9 * img_s) / peak_flops

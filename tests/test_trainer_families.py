@@ -60,9 +60,16 @@ def test_family_trains_and_evals(model_name, tiny_dirs, tmp_path):
     tr = Trainer(cfg, (img_dir, lab_dir), val_dirs=(img_dir, lab_dir),
                  names_path=names, log_fn=lambda *a: None)
     try:
-        tr.train(epochs=1)
+        from yoloseries_tpu.utils.meters import MeterBuffer
+
+        # windowed comparison: early-window average vs late-window average.
+        # (a cumulative average is noisy on 2-step epochs — SimOTA-style
+        # assigners need a few steps before the loss trends down)
+        tr.train(epochs=2)
         first = tr.meters["tot_loss"].avg
-        tr.train(epochs=3)
+        tr.train(epochs=8)
+        tr.meters = MeterBuffer()
+        tr.train(epochs=10)
         last = tr.meters["tot_loss"].avg
         assert np.isfinite(first) and np.isfinite(last)
         assert last < first, f"{model_name}: loss {first} -> {last}"

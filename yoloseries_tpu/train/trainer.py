@@ -206,6 +206,9 @@ class Trainer:
         # (train_yolov5.py:409-417 update_logger)
         self._log_every = int(cfg.hyp.get("save_log_every", 50) or 0)
         self._train_t0 = None
+        # deferred (global_it, data_t, iter_t, device-metrics) tuples,
+        # flushed into meters/TB at logging points (async dispatch)
+        self._pending = []
 
         # header: formatted config + model summary into the per-rank log
         # (train_yolov5.py:132-150 behavior)
@@ -259,6 +262,21 @@ class Trainer:
             "img": jax.device_put(batch["img"], self.batch_shard),
             "ann": jax.device_put(batch["ann"], self.batch_shard),
         }
+
+    def _flush_metrics(self):
+        """Pull all queued device-side metric scalars to host and feed the
+        meters / TensorBoard writer. One blocking transfer per flush instead
+        of one per step."""
+        if not self._pending:
+            return
+        pending, self._pending = self._pending, []
+        host = jax.device_get([m for (_, _, _, m) in pending])
+        for (global_it, t_data, t_iter, _), metrics in zip(pending, host):
+            metrics = {k: float(v) for k, v in metrics.items()}
+            self.meters.update(data_time=t_data, iter_time=t_iter, **metrics)
+            if self.writer is not None:
+                for k, v in metrics.items():
+                    self.writer.add_scalar(f"train/{k}", v, global_it)
 
     def _current_lr(self, global_it: int) -> float:
         """Host-side mirror of the 'other'-group schedule (optim.py
@@ -321,20 +339,19 @@ class Trainer:
                 t_data = time.time() - t0
                 step_fn = self._step_fn_for(batch["img"].shape[1:3])
                 self.state, metrics = step_fn(self.state, batch)
-                metrics = {k: float(v) for k, v in metrics.items()}
-                self.meters.update(
-                    data_time=t_data,
-                    iter_time=time.time() - t0,
-                    **metrics,
-                )
-                if self.writer is not None:
-                    for k, v in metrics.items():
-                        self.writer.add_scalar(f"train/{k}", v, global_it)
+                # ASYNC DISPATCH: don't pull metric scalars here — a host
+                # sync per step serializes dispatch latency into the step
+                # time (~30 ms/step on a tunneled chip). Device-side scalars
+                # queue up and are flushed at logging points, so steps chain
+                # on-device back to back.
+                self._pending.append((global_it, t_data, time.time() - t0, metrics))
                 if self._profile_steps and global_it == 1 + self._profile_steps:
                     jax.profiler.stop_trace()
                     self.log(f"profiler trace saved to {self._profile_dir}")
                 if self._log_every and (global_it + 1) % self._log_every == 0:
+                    self._flush_metrics()
                     self._log_progress(epoch, total, it, global_it, batch)
+            self._flush_metrics()
             step = int(self.state.step)
             parts = " ".join(
                 f"{k.replace('_loss', '')} {self.meters[k].avg:.3f}"
