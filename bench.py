@@ -114,6 +114,20 @@ def main():
     dt = timed(e2e, imgs)
     img_per_s = batch / dt
 
+    # ---- p50 single-image latency (BASELINE.md: "measured and reported"):
+    # per-call sync, serving config, batch 1. On the tunneled chip this is
+    # dominated by the ~31 ms relay round trip; device time is the remainder.
+    img1 = [(variables, jnp.asarray(
+        rng.integers(0, 255, (1, 640, 640, 3), dtype=np.uint8)))
+        for _ in range(3)]
+    float(e2e(*img1[0])[1])
+    lat = []
+    for i in range(12):
+        t0 = time.perf_counter()
+        float(e2e(*img1[i % 3])[1])
+        lat.append(time.perf_counter() - t0)
+    p50_ms = sorted(lat)[len(lat) // 2] * 1e3
+
     # ---- training step: fwd+assign+loss+bwd+optimizer, bf16, batch 128
     train_img_s, mfu = _bench_train_step()
 
@@ -123,6 +137,12 @@ def main():
         "value": round(protocol_img_s, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(protocol_img_s / baseline, 4),
+    }))
+    print(json.dumps({
+        "metric": "yolov5s_640_p50_latency_b1",
+        "value": round(p50_ms, 2),
+        "unit": "ms",
+        "note": "per-call sync incl. ~31ms relay RTT on this harness",
     }))
     print(json.dumps({
         "metric": "yolov5s_640_train_step",

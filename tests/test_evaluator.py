@@ -114,3 +114,28 @@ def test_evaluator_wbf_tta():
     # fused box stays near the planted center (28, 44)
     cx = (outs[0][0, 0] + outs[0][0, 2]) / 2
     assert abs(cx - 28) < 3
+
+
+@pytest.mark.slow
+def test_evaluator_wbf_tta_fused_select():
+    """WBF branch path with the fused select_fn must match the planted box
+    like the dense path does (detect_wbf -> _run_tta_branches -> select)."""
+    from yoloseries_tpu.evaluation import decode_topk_yolov5
+
+    size, nc = 64, 3
+    apply_fn = _toy_apply((24, 40), planted_cls=1, nc=nc, size=size)
+    cfg = EvalConfig(conf_threshold=0.3, cls_threshold=0.25, iou_threshold=0.5,
+                     num_candidates=64, max_keep=10, merge_boxes=False,
+                     use_tta=True, tta_scales=(1.0, 0.5), tta_flips=(None, 2),
+                     use_wbf=True)
+    select_fn = lambda p: decode_topk_yolov5(
+        p, ANCHORS, k=cfg.num_candidates,
+        conf_threshold=cfg.conf_threshold, cls_threshold=cfg.cls_threshold,
+    )
+    ev = Evaluator(apply_fn, lambda p: decode_yolov5(p, ANCHORS), cfg,
+                   select_fn=select_fn)
+    outs = ev.detect_wbf({}, np.zeros((2, size, size, 3), dtype=np.uint8))
+    assert len(outs) == 2
+    assert outs[0] is not None and outs[0].shape[1] == 6
+    cx = (outs[0][0, 0] + outs[0][0, 2]) / 2
+    assert abs(cx - 28) < 3
