@@ -49,9 +49,9 @@ def decode_topk_fcos(cls_fms, reg_fms, ctr_fms, input_size, k: int,
     K winning rows. Returns (boxes_xyxy, scores, cls_ids)."""
     import numpy as np
 
-    level_scores, level_cls, level_reg = [], [], []
-    consts, offsets, ns_list = [], [], []
-    offset = 0
+    from .select import topk_gather
+
+    level_scores, level_cls, level_reg, consts = [], [], [], []
     for cls_l, reg_l, ctr_l in zip(cls_fms, reg_fms, ctr_fms):
         b, h, w, nc = cls_l.shape
         stride = input_size[0] / h
@@ -73,28 +73,13 @@ def decode_topk_fcos(cls_fms, reg_fms, ctr_fms, input_size, k: int,
             ],
             axis=1,
         ))
-        offsets.append(offset)
-        ns_list.append(ns)
-        offset += ns
 
-    scores = jnp.concatenate(level_scores, axis=1)
-    kf = min(k, scores.shape[-1])
-    score_f, idx_f = jax.lax.top_k(scores, kf)
+    score_f, idx_f, (cls_rows, reg_rows) = topk_gather(
+        level_scores, k, [level_cls, level_reg]
+    )
 
     const_all = jnp.asarray(np.concatenate(consts, axis=0), jnp.float32)
     ck = jnp.take(const_all, idx_f, axis=0)  # (B, K, 3)
-
-    nc = level_cls[0].shape[-1]
-    cls_rows = jnp.zeros((scores.shape[0], kf, nc), jnp.float32)
-    reg_rows = jnp.zeros((scores.shape[0], kf, 4), jnp.float32)
-    for si in range(len(level_cls)):
-        local = idx_f - offsets[si]
-        in_stage = (local >= 0) & (local < ns_list[si])
-        safe = jnp.clip(local, 0, ns_list[si] - 1)
-        c = jnp.take_along_axis(level_cls[si], safe[..., None], axis=1)
-        r = jnp.take_along_axis(level_reg[si], safe[..., None], axis=1)
-        cls_rows = jnp.where(in_stage[..., None], c, cls_rows)
-        reg_rows = jnp.where(in_stage[..., None], r, reg_rows)
 
     cls_f = jnp.argmax(cls_rows, axis=-1)
     ltrb = reg_rows * ck[..., 2:3]

@@ -76,6 +76,8 @@ def decode_topk_yolov5(stage_preds, anchors, k, conf_threshold,
       scores: (B, K) conf = obj * cls_conf, 0 for gated/padded slots,
       cls_ids: (B, K) float class ids.
     """
+    from .select import topk_gather
+
     num_anchor = anchors.shape[1]
     anchors_np = np.asarray(anchors)
 
@@ -84,8 +86,7 @@ def decode_topk_yolov5(stage_preds, anchors, k, conf_threshold,
     # computed here: a full-plane argmax is a second pass over the maps;
     # instead the winning rows are re-read below and argmax runs on (B, K)
     stage_scores, stage_rows = [], []
-    consts, offsets, ns_list = [], [], []
-    offset = 0
+    consts = []
     for si, (pred, stride) in enumerate(zip(stage_preds, strides)):
         b, h, w, c = pred.shape
         no = c // num_anchor
@@ -112,28 +113,14 @@ def decode_topk_yolov5(stage_preds, anchors, k, conf_threshold,
             ],
             axis=1,
         ))
-        offsets.append(offset)
-        ns_list.append(ns)
-        offset += ns
 
     # pass 2 — ONE global top-k over the concatenated score planes (index
     # order identical to the dense decode_yolov5 concat), then sparse
     # masked gathers of just the K winning rows from each stage
-    scores = jnp.concatenate(stage_scores, axis=1)  # (B, N)
-    kf = min(k, scores.shape[-1])
-    score_f, idx_f = jax.lax.top_k(scores, kf)  # (B, K)
+    score_f, idx_f, (rows,) = topk_gather(stage_scores, k, [stage_rows])
 
     const_all = jnp.asarray(np.concatenate(consts, axis=0), jnp.float32)
     ck = jnp.take(const_all, idx_f, axis=0)  # (B, K, 5)
-
-    no = stage_rows[0].shape[-1]
-    rows = jnp.zeros((scores.shape[0], kf, no), dtype)
-    for si in range(len(stage_rows)):
-        local = idx_f - offsets[si]
-        in_stage = (local >= 0) & (local < ns_list[si])
-        safe = jnp.clip(local, 0, ns_list[si] - 1)
-        r = jnp.take_along_axis(stage_rows[si], safe[..., None], axis=1)
-        rows = jnp.where(in_stage[..., None], r, rows)
 
     cls_f = jnp.argmax(rows[..., 5:], axis=-1)
     sig = jax.nn.sigmoid(rows[..., 0:4])

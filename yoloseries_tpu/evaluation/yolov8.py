@@ -51,39 +51,23 @@ def decode_topk_yolov8(stage_preds, num_class: int, input_size, k: int,
         stage_preds = list(stage_preds.values())
     grids, strides_col = v8_make_grid(input_size, strides)
 
+    from .select import topk_gather
+
     stage_scores, stage_rows = [], []
-    offsets, ns_list = [], []
-    offset = 0
-    nco = None
     for pred in stage_preds:
         b, h, w, c = pred.shape
-        ns = h * w
-        nco = c
-        p = pred.astype(dtype).reshape(b, ns, c)
+        p = pred.astype(dtype).reshape(b, h * w, c)
         cls_logit = p[..., 4 * reg:]
         cls_conf = jax.nn.sigmoid(jnp.max(cls_logit, axis=-1))
         # dense-path gate: obj = 1, so conf_threshold only gates if > 1
         valid = (1.0 >= conf_threshold) & (cls_conf > cls_threshold)
         stage_scores.append(jnp.where(valid, cls_conf, 0.0).astype(jnp.float32))
         stage_rows.append(p)
-        offsets.append(offset)
-        ns_list.append(ns)
-        offset += ns
 
-    scores = jnp.concatenate(stage_scores, axis=1)
-    kf = min(k, scores.shape[-1])
-    score_f, idx_f = jax.lax.top_k(scores, kf)
+    score_f, idx_f, (rows,) = topk_gather(stage_scores, k, [stage_rows])
 
     gk = jnp.take(grids, idx_f, axis=0)        # (B, K, 2)
     sk = jnp.take(strides_col, idx_f, axis=0)  # (B, K, 1)
-
-    rows = jnp.zeros((scores.shape[0], kf, nco), dtype)
-    for si in range(len(stage_rows)):
-        local = idx_f - offsets[si]
-        in_stage = (local >= 0) & (local < ns_list[si])
-        safe = jnp.clip(local, 0, ns_list[si] - 1)
-        r = jnp.take_along_axis(stage_rows[si], safe[..., None], axis=1)
-        rows = jnp.where(in_stage[..., None], r, rows)
 
     cls_f = jnp.argmax(rows[..., 4 * reg:], axis=-1)
     tblr = dfl_decode(rows[..., : 4 * reg].astype(jnp.float32), reg)  # (B, K, 4)

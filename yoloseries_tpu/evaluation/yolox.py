@@ -41,10 +41,10 @@ def decode_topk_yolox(stage_preds, num_class: int, k: int, conf_threshold,
     global top-k over the stage-concatenated score planes (index order
     identical to :func:`decode_yolox`), then sparse gathers of the K winning
     rows. Returns (boxes_xyxy (B,K,4), scores (B,K), cls_ids (B,K))."""
+    from .select import topk_gather
+
     no = 5 + num_class
-    stage_scores, stage_rows = [], []
-    consts, offsets, ns_list = [], [], []
-    offset = 0
+    stage_scores, stage_rows, consts = [], [], []
     for pred, stride in zip(stage_preds, strides):
         b, h, w, c = pred.shape
         ns = h * w * num_anchor
@@ -66,24 +66,11 @@ def decode_topk_yolox(stage_preds, num_class: int, k: int, conf_threshold,
             ],
             axis=1,
         ))
-        offsets.append(offset)
-        ns_list.append(ns)
-        offset += ns
 
-    scores = jnp.concatenate(stage_scores, axis=1)
-    kf = min(k, scores.shape[-1])
-    score_f, idx_f = jax.lax.top_k(scores, kf)
+    score_f, idx_f, (rows,) = topk_gather(stage_scores, k, [stage_rows])
 
     const_all = jnp.asarray(np.concatenate(consts, axis=0), jnp.float32)
     ck = jnp.take(const_all, idx_f, axis=0)  # (B, K, 3)
-
-    rows = jnp.zeros((scores.shape[0], kf, no), dtype)
-    for si in range(len(stage_rows)):
-        local = idx_f - offsets[si]
-        in_stage = (local >= 0) & (local < ns_list[si])
-        safe = jnp.clip(local, 0, ns_list[si] - 1)
-        r = jnp.take_along_axis(stage_rows[si], safe[..., None], axis=1)
-        rows = jnp.where(in_stage[..., None], r, rows)
 
     cls_f = jnp.argmax(rows[..., 5:], axis=-1)
     stride_f = ck[..., 2:3]
