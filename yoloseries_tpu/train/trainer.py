@@ -386,6 +386,24 @@ class Trainer:
         params = self.state.ema_params if self.cfg.do_ema else self.state.params
         return {"params": params, "batch_stats": stats}
 
+    @staticmethod
+    def _accumulate_eval(metrics, dets, batch):
+        """Pull one batch's detections to host and add (gt, pred) pairs."""
+        preds = Evaluator.to_host_detections(dets, batch["info"])
+        anns = batch["ann"]
+        for i in range(len(preds)):
+            valid = anns[i][:, 4] >= 0
+            gt = anns[i][valid]
+            # un-letterbox gt like preds_postprocess (train_yolov5.py:631-647)
+            scale, pl, pt, ow, oh = batch["info"][i]
+            g = np.zeros((valid.sum(), 5), dtype=np.float64)
+            g[:, 0] = ((gt[:, 0] - pl) / scale).clip(0, ow)
+            g[:, 1] = ((gt[:, 1] - pt) / scale).clip(0, oh)
+            g[:, 2] = ((gt[:, 2] - pl) / scale).clip(0, ow)
+            g[:, 3] = ((gt[:, 3] - pt) / scale).clip(0, oh)
+            g[:, 4] = gt[:, 4]
+            metrics.add_image(g, preds[i])
+
     def evaluate(self, max_batches: int | None = None) -> dict:
         """mAP over the val set with reference thresholds (val protocol)."""
         assert self.val_dataset is not None, "no val dirs configured"
@@ -397,24 +415,20 @@ class Trainer:
         variables = self.eval_variables()
         metrics = DetectionMetrics()
         try:
+            # pipelined: submit batch i's jitted eval, then pull batch i-1's
+            # detections to host while i runs (same async-dispatch rationale
+            # as the train loop — a per-batch host sync serializes dispatch
+            # latency into every eval step)
+            pending = None
             for bi, batch in enumerate(loader):
                 if max_batches is not None and bi >= max_batches:
                     break
                 dets = self.evaluator(variables, batch["img"])
-                preds = Evaluator.to_host_detections(dets, batch["info"])
-                anns = batch["ann"]
-                for i in range(len(preds)):
-                    valid = anns[i][:, 4] >= 0
-                    gt = anns[i][valid]
-                    # un-letterbox gt like preds_postprocess (train_yolov5.py:631-647)
-                    scale, pl, pt, ow, oh = batch["info"][i]
-                    g = np.zeros((valid.sum(), 5), dtype=np.float64)
-                    g[:, 0] = ((gt[:, 0] - pl) / scale).clip(0, ow)
-                    g[:, 1] = ((gt[:, 1] - pt) / scale).clip(0, oh)
-                    g[:, 2] = ((gt[:, 2] - pl) / scale).clip(0, ow)
-                    g[:, 3] = ((gt[:, 3] - pt) / scale).clip(0, oh)
-                    g[:, 4] = gt[:, 4]
-                    metrics.add_image(g, preds[i])
+                if pending is not None:
+                    self._accumulate_eval(metrics, *pending)
+                pending = (dets, batch)
+            if pending is not None:
+                self._accumulate_eval(metrics, *pending)
         finally:
             loader.stop()
         out = metrics.compute()
