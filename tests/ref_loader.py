@@ -125,10 +125,84 @@ def load_reference_model(key: str):
     return getattr(mod, cls)
 
 
-def load_reference_v5_evaluator():
-    """Execute trainer/eval_yolov5.py with a fake `utils` namespace carrying
-    the real nms/bbox_tools functions (numba stubbed to pure python).
-    Returns the YOLOV5Evaluator class."""
+# loss modules: family -> (file, class attr)
+REF_LOSSES = {
+    "yolov5": ("loss/yolov5_loss.py", "YOLOV5Loss"),
+    "yolov7": ("loss/yolov7_loss.py", "YOLOV7Loss"),
+    "yolox": ("loss/yolox_loss.py", "YOLOXLoss"),
+    "yolov8": ("loss/yolov8_loss.py", "YOLOV8Loss"),
+    "retinanet": ("loss/retinanet_loss.py", "RetinaNetLoss"),
+    "fcos": ("loss/fcos_loss.py", "FCOSLoss"),
+}
+
+
+def load_reference_loss(family: str):
+    """Execute a reference loss module (loss/*_loss.py) with a fake `utils`
+    namespace carrying the REAL bbox math from utils/bbox_tools.py, the real
+    GPUAnchor from utils/anchor.py (retinanet), and identity dist stubs
+    (reduce_mean/gather/get_local_rank — single-process semantics, the
+    reference's own world_size==1 fast path). Returns the loss class."""
+    install_stubs()
+    # anchor.py imports sklearn/matplotlib at module scope; stub if absent
+    for name in ("sklearn", "sklearn.cluster", "matplotlib", "matplotlib.pyplot"):
+        if name not in sys.modules:
+            try:
+                importlib.import_module(name)
+            except ImportError:
+                mod = types.ModuleType(name)
+                if name == "sklearn.cluster":
+                    mod.KMeans = object
+                sys.modules[name] = mod
+
+    def _load(rel, mod_name):
+        spec = importlib.util.spec_from_file_location(mod_name, REFERENCE / rel)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    bbox_tools = _load("utils/bbox_tools.py", "_ref_bbox_tools_loss")
+    fake_utils = types.ModuleType("utils")
+    for name in (
+        "xyxy2xywhn", "xyxy2xywh", "xywh2xyxy", "tblr2xyxy", "xyxy2tblr",
+        "gpu_iou", "gpu_CIoU", "gpu_DIoU", "gpu_Giou",
+    ):
+        setattr(fake_utils, name, getattr(bbox_tools, name))
+    if family == "retinanet":
+        anchor = _load("utils/anchor.py", "_ref_anchor_loss")
+        fake_utils.GPUAnchor = anchor.GPUAnchor
+    # dist helpers (fcos): single-process identity semantics
+    fake_utils.reduce_mean = lambda t: t
+    fake_utils.gather = lambda data, dst=0: [data]
+    fake_utils.get_local_rank = lambda: 0
+
+    saved = sys.modules.get("utils")
+    sys.modules["utils"] = fake_utils
+    try:
+        rel, cls_name = REF_LOSSES[family]
+        mod = _load(rel, f"_ref_loss_{family}")
+    finally:
+        if saved is not None:
+            sys.modules["utils"] = saved
+        else:
+            sys.modules.pop("utils", None)
+    return getattr(mod, cls_name)
+
+
+# evaluators: family -> (file, class attr)
+REF_EVALUATORS = {
+    "yolov5": ("eval_yolov5.py", "YOLOV5Evaluator"),
+    "yolov7": ("eval_yolov7.py", "YOLOV7Evaluator"),
+    "yolox": ("eval_yolox.py", "YOLOXEvaluator"),
+    "yolov8": ("eval_yolov8.py", "YOLOV8Evaluator"),
+    "retinanet": ("eval_retinanet.py", "RetinaNetEvaluator"),
+    "fcos": ("eval_fcos.py", "FCOSEvaluator"),
+}
+
+
+def load_reference_evaluator(family: str):
+    """Execute trainer/eval_*.py with a fake `utils` namespace carrying the
+    real nms/bbox_tools/anchor functions (numba stubbed to pure python).
+    Returns the evaluator class."""
     install_stubs()
 
     pkg = types.ModuleType("_refu")
@@ -152,15 +226,31 @@ def load_reference_v5_evaluator():
     fake_utils.numba_nms = nms.numba_nms
     fake_utils.numba_iou = bbox_tools.numba_iou
     fake_utils.numba_xywh2xyxy = bbox_tools.numba_xywh2xyxy
+    fake_utils.numba_xyxy2xywh = bbox_tools.numba_xyxy2xywh
     fake_utils.xywh2xyxy = bbox_tools.xywh2xyxy
+    fake_utils.tblr2xyxy = bbox_tools.tblr2xyxy
     fake_utils.weighted_fusion_bbox = lambda *a, **k: (_ for _ in ()).throw(
         RuntimeError("wfb not wired in this harness")
     )
+    if family == "retinanet":
+        for name in ("sklearn", "sklearn.cluster", "matplotlib",
+                     "matplotlib.pyplot"):
+            if name not in sys.modules:
+                try:
+                    importlib.import_module(name)
+                except ImportError:
+                    mod = types.ModuleType(name)
+                    if name == "sklearn.cluster":
+                        mod.KMeans = object
+                    sys.modules[name] = mod
+        anchor = _load("anchor")
+        fake_utils.GPUAnchor = anchor.GPUAnchor
     saved = sys.modules.get("utils")
     sys.modules["utils"] = fake_utils
     try:
+        rel, cls_name = REF_EVALUATORS[family]
         spec = importlib.util.spec_from_file_location(
-            "_ref_eval_yolov5", REFERENCE / "trainer" / "eval_yolov5.py"
+            f"_ref_{rel[:-3]}", REFERENCE / "trainer" / rel
         )
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
@@ -169,4 +259,8 @@ def load_reference_v5_evaluator():
             sys.modules["utils"] = saved
         else:
             sys.modules.pop("utils", None)
-    return mod.YOLOV5Evaluator
+    return getattr(mod, cls_name)
+
+
+def load_reference_v5_evaluator():
+    return load_reference_evaluator("yolov5")

@@ -1,0 +1,307 @@
+"""Training-side oracle: loss-value parity vs the EXECUTED reference loss
+modules (VERDICT round-2 item 1).
+
+For each of the six families, one fixed batch of random raw prediction maps
+(in the reference's native layout) and one fixed (B, M, 6) -1-padded target
+tensor are fed to
+
+* the reference loss module executed on torch-CPU
+  (loss/yolov5_loss.py:30, yolox_loss.py:95, yolov7_loss.py:41,
+  yolov8_loss.py:33, retinanet_loss.py:59, fcos_loss.py:82), and
+* our dense-lattice loss closure (via Family.make_loss) on the SAME values
+  transposed to our NHWC layout.
+
+Every loss component and the assigned-positive counts must agree.
+
+Why identical predictions rather than converted weights + two model
+forwards: model logit parity is certified separately
+(tests/test_torch_parity_families.py); feeding bitwise-identical inputs
+isolates the assigner + loss numerics, so a failure here implicates exactly
+one component. The layout transforms used below are the inverses of the
+ones those parity tests already certify.
+
+Documented deviations (asserted with measured bounds below):
+* yolox/ref counts `tar_nums` once per stage (3x ours); a zero-fg stage
+  reports num_fg=1 (max(.,1) applied before reporting) — fixtures keep
+  every stage populated so the counts align,
+* retinanet cls focal weight: the reference raises CLAMPED RAW LOGITS
+  (treated as probabilities, loss/retinanet_loss.py:102,110-117) to gamma;
+  ours uses sigmoid(logit). cls_loss is compared against a reference run
+  only for the assignment counts, plus a loose bound (see test).
+* retinanet `tar_nums`: the reference returns only the LAST image's
+  positive count (loss/retinanet_loss.py:172-177); ours is the batch total.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from ref_loader import REFERENCE, load_reference_loss  # noqa: E402
+
+pytestmark = [
+    pytest.mark.skipif(not REFERENCE.exists(), reason="reference repo not mounted"),
+    pytest.mark.slow,
+]
+
+B, M, NC = 2, 12, 8
+SIZE = 160  # /32 = 5; retinanet/fcos use 128 (5 pyramid levels)
+
+RTOL, ATOL = 2e-3, 2e-4
+
+
+def make_targets(seed, size, n_real=6, nc=NC, batch=B, slots=M):
+    """-1-padded (B, M, 6) [x1, y1, x2, y2, cls, img_id] fixture. Boxes are
+    40-100 px so every stride (incl. 32) has candidate cells and the yolox
+    random no-candidate fallback (loss/yolox_loss.py:270-278) never fires."""
+    rng = np.random.default_rng(seed)
+    t = np.full((batch, slots, 6), -1.0, np.float32)
+    for b in range(batch):
+        wh = rng.uniform(40, 100, (n_real, 2))
+        xy = rng.uniform(2, size - 102, (n_real, 2))
+        t[b, :n_real, 0:2] = xy
+        t[b, :n_real, 2:4] = xy + wh
+        t[b, :n_real, 4] = rng.integers(0, nc, n_real)
+        t[b, :n_real, 5] = b
+    return t
+
+
+def rand_maps(seed, shapes, scale=1.0):
+    rng = np.random.default_rng(seed)
+    return [rng.normal(0, scale, s).astype(np.float32) for s in shapes]
+
+
+def _to_f(v):
+    import torch
+
+    if isinstance(v, torch.Tensor):
+        return float(v.detach().reshape(-1)[0])
+    return float(np.asarray(v).reshape(-1)[0])
+
+
+def compare(ref_dict, our_dict, keys, rtol=RTOL, atol=ATOL):
+    for k in keys:
+        r, o = _to_f(ref_dict[k]), _to_f(our_dict[k])
+        np.testing.assert_allclose(o, r, rtol=rtol, atol=atol,
+                                   err_msg=f"component {k!r}: ref {r} vs ours {o}")
+
+
+def test_yolov5_loss_parity_with_reference():
+    import torch
+
+    from yoloseries_tpu.families import get_family
+    from yoloseries_tpu.ops import YOLOV5_ANCHORS
+
+    hyp = {
+        "device": "cpu", "num_class": NC, "input_img_size": [SIZE, SIZE],
+        "cls_pos_weight": 1.0, "cof_pos_weight": 1.0,
+        "class_smooth_factor": 1.0, "use_focal_loss": True,
+        "anchor_match_thr": 4.0, "iou_loss_scale": 0.05,
+        "cls_loss_scale": 0.5, "cof_loss_scale": 1.0,
+        "focal_loss_gamma": 1.5, "focal_loss_alpha": 0.25,
+    }
+    targets = make_targets(21, SIZE)
+    no = 3 * (5 + NC)
+    maps = rand_maps(22, [(B, no, SIZE // s, SIZE // s) for s in (8, 16, 32)])
+
+    RefLoss = load_reference_loss("yolov5")
+    anchors_t = torch.tensor(np.asarray(YOLOV5_ANCHORS, np.float32))
+    ref = RefLoss(anchors_t, hyp)([torch.from_numpy(m) for m in maps],
+                                  torch.from_numpy(targets.copy()))
+
+    loss_fn, bal0 = get_family("yolov5").make_loss(hyp, NC, (SIZE, SIZE))
+    # reference channel dim is anchor-major [a0(5+nc), a1(5+nc), a2(5+nc)]
+    ours, _ = loss_fn([m.transpose(0, 2, 3, 1) for m in maps],
+                      targets, bal0)
+
+    assert int(_to_f(ref["tar_nums"])) == int(_to_f(ours["tar_nums"]))
+    compare(ref, ours, ("iou_loss", "cof_loss", "cls_loss", "tot_loss"))
+
+
+def test_yolov7_loss_parity_with_reference():
+    import torch
+
+    from yoloseries_tpu.families import get_family
+    from yoloseries_tpu.ops import YOLOV5_ANCHORS
+
+    hyp = {
+        "device": "cpu", "num_class": NC, "input_img_size": [SIZE, SIZE],
+        "cls_pos_weight": 1.0, "cof_pos_weight": 1.0,
+        "use_focal_loss": False, "anchor_match_thr": 4.0, "topk": 10,
+        "iou_loss_scale": 0.05, "cls_loss_scale": 0.5, "cof_loss_scale": 1.0,
+        "use_iou_as_tar_cof": True,
+    }
+    targets = make_targets(31, SIZE)
+    na, c = 3, 5 + NC
+    maps = rand_maps(
+        32, [(B, na, SIZE // s, SIZE // s, c) for s in (8, 16, 32)]
+    )
+
+    RefLoss = load_reference_loss("yolov7")
+    anchors_t = torch.tensor(np.asarray(YOLOV5_ANCHORS, np.float32))
+    ref_preds = {k: torch.from_numpy(m)
+                 for k, m in zip(("pred_s", "pred_m", "pred_l"), maps)}
+    ref = RefLoss(anchors_t, hyp)(ref_preds, torch.from_numpy(targets.copy()))
+
+    loss_fn, bal0 = get_family("yolov7").make_loss(hyp, NC, (SIZE, SIZE))
+    our_maps = [
+        m.transpose(0, 2, 3, 1, 4).reshape(B, m.shape[2], m.shape[3], na * c)
+        for m in maps
+    ]
+    ours, _ = loss_fn(our_maps, targets, bal0)
+
+    assert int(_to_f(ref["tar_nums"])) == int(_to_f(ours["tar_nums"]))
+    compare(ref, ours, ("iou_loss", "cof_loss", "cls_loss", "tot_loss"))
+
+
+def test_yolox_loss_parity_with_reference():
+    import torch
+
+    from yoloseries_tpu.families import get_family
+
+    hyp = {
+        "device": "cpu", "num_class": NC, "input_img_size": [SIZE, SIZE],
+        "num_anchors": 1, "num_stage": 3, "topk": 13, "center_radius": 2.5,
+        "use_l1": True, "iou_type": "ciou", "class_smooth_factor": 1.0,
+        "iou_loss_scale": 5.0, "cls_loss_scale": 1.0, "cof_loss_scale": 1.0,
+        "l1_loss_scale": 1.0, "cls_pos_weight": 1.0, "cof_pos_weight": 1.0,
+        "use_focal_loss": False,
+    }
+    targets = make_targets(41, SIZE)
+    c = 5 + NC
+    maps = rand_maps(42, [(B, 1, c, SIZE // s, SIZE // s) for s in (8, 16, 32)])
+
+    RefLoss = load_reference_loss("yolox")
+    ref_preds = {k: torch.from_numpy(m)
+                 for k, m in zip(("pred_s", "pred_m", "pred_l"), maps)}
+    ref = RefLoss(hyp)(ref_preds, torch.from_numpy(targets.copy()))
+
+    loss_fn, bal0 = get_family("yolox").make_loss(hyp, NC, (SIZE, SIZE))
+    our_maps = [
+        m.transpose(0, 3, 4, 1, 2).reshape(B, m.shape[3], m.shape[4], c)
+        for m in maps
+    ]
+    ours, _ = loss_fn(our_maps, targets, bal0)
+
+    # reference counts the gt set once PER STAGE (yolox_loss.py:66-69)
+    assert int(_to_f(ref["tar_nums"])) == 3 * int(_to_f(ours["tar_nums"]))
+    assert int(_to_f(ref["fg_nums"])) == int(_to_f(ours["fg_nums"]))
+    compare(ref, ours, ("iou_loss", "cof_loss", "cls_loss", "l1_loss",
+                        "tot_loss"))
+
+
+def test_yolov8_loss_parity_with_reference():
+    import torch
+
+    from yoloseries_tpu.families import get_family
+
+    hyp = {
+        "device": "cpu", "num_class": NC, "input_img_size": [SIZE, SIZE],
+        "alpha": 0.5, "beta": 6.0, "topk": 13, "reg": 16,
+        "iou_loss_scale": 7.5, "cls_loss_scale": 0.5, "dfl_loss_scale": 1.5,
+        "cls_pos_weight": 1.0, "use_focal_loss": True,
+        "focal_loss_gamma": 1.5, "focal_loss_alpha": 0.25,
+    }
+    targets = make_targets(51, SIZE)
+    c = 4 * 16 + NC
+    maps = rand_maps(52, [(B, c, SIZE // s, SIZE // s) for s in (4, 8, 16, 32)])
+
+    RefLoss = load_reference_loss("yolov8")
+    ref_preds = {k: torch.from_numpy(m)
+                 for k, m in zip(("pred_xs", "pred_x", "pred_m", "pred_l"), maps)}
+    ref = RefLoss(hyp)(ref_preds, torch.from_numpy(targets.copy()))
+
+    loss_fn, bal0 = get_family("yolov8").make_loss(hyp, NC, (SIZE, SIZE))
+    ours, _ = loss_fn([m.transpose(0, 2, 3, 1) for m in maps], targets, bal0)
+
+    assert int(_to_f(ref["tar_nums"])) == int(_to_f(ours["tar_nums"]))
+    compare(ref, ours, ("iou_loss", "cls_loss", "dfl_loss", "tot_loss"))
+
+
+def test_retinanet_loss_parity_with_reference():
+    import torch
+
+    from yoloseries_tpu.families import get_family
+
+    size = 128
+    hyp = {
+        "device": "cpu", "num_class": NC, "input_img_size": [size, size],
+        "positive_iou_thr": 0.5, "negative_iou_thr": 0.4, "iou_type": "ciou",
+        "l1_loss_scale": 0.5, "iou_loss_scale": 0.5, "cls_loss_scale": 0.2,
+        "alpha": 0.25, "gamma": 2.0,
+        "tar_box_scale_factor": [0.1, 0.1, 0.2, 0.2],
+        "mutil_scale_training": False,
+    }
+    # anchors: 9 per cell over levels /8../128
+    n_anchor = sum((size // s) ** 2 * 9 for s in (8, 16, 32, 64, 128))
+    rng = np.random.default_rng(61)
+    regression = rng.normal(0, 0.3, (B, n_anchor, 4)).astype(np.float32)
+    classification = rng.normal(-2.0, 1.0, (B, n_anchor, NC)).astype(np.float32)
+    targets = make_targets(62, size)
+
+    RefLoss = load_reference_loss("retinanet")
+    imgs = torch.zeros((B, 3, size, size))
+    ref = RefLoss(hyp)(
+        imgs,
+        torch.from_numpy(regression.copy()),
+        torch.from_numpy(classification.copy()),
+        torch.from_numpy(targets[..., :5].copy()),
+    )
+
+    loss_fn, bal0 = get_family("retinanet").make_loss(hyp, NC, (size, size))
+    ours, _ = loss_fn((regression, classification), targets, bal0)
+
+    # the regression branch shares the assignment with cls: exact parity
+    # there certifies the max-IoU assigner
+    compare(ref, ours, ("l1_loss", "iou_loss"))
+    # cls focal weight deviation (module docstring): reference treats
+    # clamped raw logits as probabilities (loss/retinanet_loss.py:102-117).
+    # With logits ~N(-2, 1) most negatives clamp to prob 1e-3 -> weight
+    # ~1e-6, so the reference cls term is far smaller; bound the ratio.
+    r_cls, o_cls = _to_f(ref["cls_loss"]), _to_f(ours["cls_loss"])
+    assert o_cls > 0 and r_cls > 0
+    assert r_cls < o_cls, (r_cls, o_cls)
+
+
+def test_fcos_loss_parity_with_reference():
+    import torch
+
+    from yoloseries_tpu.families import get_family
+
+    size = 128
+    hyp = {
+        "device": "cpu", "num_class": NC, "input_img_size": [size, size],
+        "cls_pos_weight": 1.0, "ctr_pos_weight": 1.0,
+        "class_smooth_factor": 0.0, "center_sampling_radius": 1.5,
+        "do_center_sampling": True, "iou_type": "giou", "eps": 1e-6,
+        "ctr_loss_weight": 1.0, "cls_loss_weight": 1.0, "reg_loss_weight": 1.0,
+    }
+    targets = make_targets(71, size)
+    strides = (8, 16, 32, 64, 128)
+    cls_maps = rand_maps(72, [(B, NC, size // s, size // s) for s in strides])
+    reg_maps = rand_maps(73, [(B, 4, size // s, size // s) for s in strides])
+    ctr_maps = rand_maps(74, [(B, 1, size // s, size // s) for s in strides])
+
+    RefLoss = load_reference_loss("fcos")
+    ref = RefLoss(hyp)(
+        [torch.from_numpy(m) for m in cls_maps],
+        [torch.from_numpy(m) for m in reg_maps],
+        [torch.from_numpy(m) for m in ctr_maps],
+        torch.from_numpy(targets.copy()),
+    )
+
+    loss_fn, bal0 = get_family("fcos").make_loss(hyp, NC, (size, size))
+    ours, _ = loss_fn(
+        (
+            [m.transpose(0, 2, 3, 1) for m in cls_maps],
+            [m.transpose(0, 2, 3, 1) for m in reg_maps],
+            [m.transpose(0, 2, 3, 1) for m in ctr_maps],
+        ),
+        targets,
+        bal0,
+    )
+
+    assert int(_to_f(ref["tar_nums"])) == int(_to_f(ours["tar_nums"]))
+    compare(ref, ours, ("reg_loss", "cen_loss", "cls_loss", "tot_loss"))

@@ -9,8 +9,9 @@ Dense rebuild of loss/fcos_loss.py:18-339:
   [[-1,64],[64,128],[128,256],[256,512],[512,inf]] (:290-302),
 * one gt per location: minimum area wins (:264-288),
 * targets: ltrb/stride; centerness = sqrt(min/max_lr * min/max_tb),
-* losses (:120-167): (neg-log / linear / g)IoU on ltrb weighted by
-  centerness (normalized by weight sum then positive count), focal-factored
+* losses (:120-167): (neg-log / linear / g)IoU on ltrb summed / pos_num —
+  the reference's centerness weighting self-cancels via a (m,1)x(m,)
+  broadcast (see the regression block below), focal-factored
   BCE for centerness (sum/pos) and class (mean(-1).sum/pos, label-smoothed),
   per-image means -> per-stage means -> stage mean x weights x batch.
 """
@@ -188,24 +189,27 @@ def fcos_loss(
 
         # ---- centerness (per image: focal BCE sum / pos_num)
         t_ctr = ctr_tar * posf
-        bce_ctr = bce_with_logits(ctr_l, t_ctr, cfg.ctr_pos_weight)
-        bce_ctr = bce_ctr * focal_loss_factor(
+        bce_ctr_raw = bce_with_logits(ctr_l, t_ctr, cfg.ctr_pos_weight)
+        bce_ctr = bce_ctr_raw * focal_loss_factor(
             ctr_l, t_ctr, cfg.focal_loss_gamma, cfg.focal_loss_alpha
         )
-        # positives only when present; all-cells mean when no positives (:141-143)
+        # positives only when present. When a level has NO positives, the
+        # reference's fallback passes `target * ctr_focal` INTO the bce
+        # (loss/fcos_loss.py:144 — focal scales the all-zero target, a
+        # no-op), so it is an UNweighted all-cells mean; replicated.
         ctr_pos = jnp.sum(bce_ctr * posf, axis=-1) / jnp.maximum(n_pos, 1.0)
-        ctr_none = jnp.mean(bce_ctr, axis=-1)
+        ctr_none = jnp.mean(bce_ctr_raw, axis=-1)
         ctr_img = jnp.where(n_pos > 0, ctr_pos, ctr_none)
         stage_ctr.append(jnp.mean(ctr_img))
 
-        # ---- regression (centerness-weighted IoU loss)
+        # ---- regression IoU loss. The reference intends a
+        # centerness-weighted mean, but compute_iou_loss broadcasts a (m, 1)
+        # loss against a (m,) weight into (m, m), so
+        # (losses * w).sum() / w.sum() == losses.sum() EXACTLY — the
+        # weighting cancels (loss/fcos_loss.py:77-78). Replicated: plain
+        # sum / pos_num (the outer :134 division).
         iou_l = _iou_loss_ltrb(reg_l, reg_tar, cfg.iou_type, cfg.eps)  # (B, P)
-        wsum = jnp.sum(ctr_tar * posf, axis=-1)
-        reg_img = (
-            jnp.sum(iou_l * ctr_tar * posf, axis=-1)
-            / jnp.maximum(wsum, cfg.eps)
-            / jnp.maximum(n_pos, 1.0)
-        )
+        reg_img = jnp.sum(iou_l * posf, axis=-1) / jnp.maximum(n_pos, 1.0)
         reg_img = jnp.where(n_pos > 0, reg_img, 0.0)
         stage_reg.append(jnp.mean(reg_img))
 

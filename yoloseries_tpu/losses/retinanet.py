@@ -94,11 +94,15 @@ def _delta_iou_loss(pred, target, iou_type, eps=1e-8):
         return 1.0 - jnp.clip(giou, -1.0, 1.0)
     c_diag = cw**2 + ch**2 + eps
     dist = (pred[..., 0] - target[..., 0]) ** 2 + (pred[..., 1] - target[..., 1]) ** 2
+    # reference quirk (replicated): `h1, w1 = preds_box[:, [2, 3]].T`
+    # (loss/retinanet_loss.py:225-226) swaps the names, so the aspect term is
+    # atan(h/w) not atan(w/h); the denominators are NOT clamped — in delta
+    # space w/h can be any sign and the quirk changes the value.
     v = (4.0 / math.pi**2) * (
-        jnp.arctan(target[..., 2] / jnp.clip(target[..., 3], eps))
-        - jnp.arctan(pred[..., 2] / jnp.clip(pred[..., 3], eps))
+        jnp.arctan(target[..., 3] / target[..., 2])
+        - jnp.arctan(pred[..., 3] / pred[..., 2])
     ) ** 2
-    alpha = jax.lax.stop_gradient(v / jnp.clip(1.0 - iou + v, eps))
+    alpha = jax.lax.stop_gradient(v / (1.0 - iou + v + eps))
     return 1.0 - (iou - dist / c_diag - v * alpha)
 
 

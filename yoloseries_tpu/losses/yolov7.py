@@ -103,10 +103,13 @@ def _ota_refine_image(cand_mask, cand_box_px, cand_cof, cand_cls,
     rank = jnp.argsort(order, axis=1)
     matching = (rank < dynamic_k[:, None]) & pair_live & jnp.isfinite(cost)
 
+    # conflict columns are REASSIGNED to the global min-cost gt (the
+    # reference zeroes the column then writes cost_min_idx,
+    # loss/yolov7_loss.py:348-351 — not an intersection with prior matches)
     col_hits = jnp.sum(matching, axis=0)
     winner = jnp.argmin(jnp.where(jnp.isfinite(cost), cost, 1e30), axis=0)
-    winner_mat = jnp.arange(M)[:, None] == winner[None, :]
-    matching = jnp.where(col_hits[None, :] > 1, matching & winner_mat, matching)
+    winner_mat = (jnp.arange(M)[:, None] == winner[None, :]) & jnp.isfinite(cost)
+    matching = jnp.where(col_hits[None, :] > 1, winner_mat, matching)
 
     keep = jnp.any(matching, axis=0)  # (C,)
     matched_gt = jnp.argmax(matching, axis=0)  # (C,)

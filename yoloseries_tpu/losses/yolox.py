@@ -7,7 +7,10 @@ every stage builds a dense (M gt-slots x P positions) lattice per image:
 * candidate gating (select_grid :235-303): grid center inside the gt box OR
   inside the center-radius square; "and"-pairs feed the cost penalty,
 * cost = cls_bce(sqrt(cls*cof) vs onehot) + 3 * (-log iou) + 1e5 * !pair
-  (:149), with an extra huge penalty on non-candidate columns / padded gts,
+  (:149), with an extra huge penalty on non-candidate columns / padded gts.
+  NB: the reference builds this cost from a zeros_like copy whose cof/cls
+  channels are never filled (:117-120), so by default the cls term is a
+  constant and assignment is IoU-driven (see use_pred_cls_in_cost),
 * dynamic-k from the sum of the top-10 candidate IoUs (simple_ota :305-359);
   per-gt "pick k cheapest" becomes rank(cost) < k via double argsort,
 * one-gt-per-position conflicts resolve to the min-cost gt (:341-346).
@@ -57,6 +60,10 @@ class YOLOXLossConfig:
     focal_loss_gamma: float = 1.5
     focal_loss_alpha: float = 0.25
     image_chunk: int = 8  # lax.map batch size for the assignment
+    # False replicates the reference's zeroed-logit cost (see
+    # _simota_assign_image); True uses the real cls/cof logits (upstream
+    # Megvii YOLOX semantics)
+    use_pred_cls_in_cost: bool = False
 
 
 def yolox_initial_balances(num_stages: int = 3) -> jnp.ndarray:
@@ -170,8 +177,18 @@ def _simota_assign_image(gt_xywh, gt_cls, gt_valid, pred_decoded, pred_raw,
     iou = jnp.where(gt_valid[:, None] & fg_cand[None, :], iou, 0.0)
     iou_cost = -jnp.log(iou + eps)
 
-    p_cof = jax.nn.sigmoid(pred_decoded[:, 4])  # (P,)
-    p_cls = jax.nn.sigmoid(pred_decoded[:, 5:])  # (P, nc)
+    # Reference quirk (replicated): label_assign builds the cost from a
+    # zeros_like copy of the prediction tensor where ONLY the box channels
+    # are filled in (loss/yolox_loss.py:117-120 — `preds_[..., 4:]` is never
+    # copied), so the cof/cls logits entering the cost are 0 -> sigmoid 0.5
+    # and the cls term is a constant. The assignment is therefore IoU-driven.
+    # Set use_pred_cls_in_cost=True for the upstream-YOLOX behavior.
+    if cfg.use_pred_cls_in_cost:
+        p_cof = jax.nn.sigmoid(pred_decoded[:, 4])  # (P,)
+        p_cls = jax.nn.sigmoid(pred_decoded[:, 5:])  # (P, nc)
+    else:
+        p_cof = jnp.full(pred_decoded.shape[:1], 0.5, pred_decoded.dtype)
+        p_cls = jnp.full((P, nc), 0.5, pred_decoded.dtype)
     joint = jnp.sqrt(jnp.clip(p_cls * p_cof[:, None], eps, 1.0))  # (P, nc)
     t_onehot = (
         jax.nn.one_hot(gt_cls, nc) * cfg.class_smooth_factor
@@ -202,11 +219,14 @@ def _simota_assign_image(gt_xywh, gt_cls, gt_valid, pred_decoded, pred_raw,
     matching = (rank < dynamic_k[:, None]) & gt_valid[:, None]
     matching &= jnp.isfinite(cost)  # never match dead cells
 
-    # resolve positions matched to >1 gt: keep the min-cost row (:341-346)
+    # resolve positions matched to >1 gt: REASSIGN the column to the global
+    # min-cost gt — even one that did not pick it (simple_ota :341-346 zeroes
+    # the column then writes cost_argmin; intersecting with the prior matches
+    # instead can drop the column entirely)
     col_hits = jnp.sum(matching, axis=0)
     winner = jnp.argmin(jnp.where(jnp.isfinite(cost), cost, 1e30), axis=0)  # (P,)
-    winner_mat = jnp.arange(M)[:, None] == winner[None, :]  # (M, P)
-    matching = jnp.where(col_hits[None, :] > 1, matching & winner_mat, matching)
+    winner_mat = (jnp.arange(M)[:, None] == winner[None, :]) & jnp.isfinite(cost)
+    matching = jnp.where(col_hits[None, :] > 1, winner_mat, matching)
 
     fg = jnp.any(matching, axis=0)  # (P,)
     matched_gt = jnp.argmax(matching, axis=0)  # (P,) valid where fg
