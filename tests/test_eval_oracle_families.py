@@ -1,0 +1,289 @@
+"""Reference-as-oracle END-TO-END eval parity for the remaining four
+families (VERDICT round-2 item 3): yolox, yolov8, retinanet, fcos.
+
+Same recipe as tests/test_eval_oracle.py's v5 cases: a random-weight
+reference model runs through the reference's OWN evaluator (executed via
+ref_loader, never copied) at validation-protocol thresholds; the converted
+weights run through our jitted Evaluator with the family decode; final
+per-image (N, 6) detections must row-match.
+
+Family-specific decode quirks this certifies end to end:
+* yolox obj*cls scoring + xywh decode     (trainer/eval_yolox.py:181-258)
+* yolov8 DFL integral (bins 1..reg)       (trainer/eval_yolov8.py:76-102)
+* retinanet anchor-delta transform + the round-and-clip of decoded boxes
+  + the write-back of IoU-merged boxes    (trainer/eval_retinanet.py:22-58,
+                                           185-200, 344-351)
+* fcos centerness scoring incl. the sqrt on reported conf
+                                           (trainer/eval_fcos.py:126-161, 279)
+
+TTA is exercised for yolox (same xywh scale/flip unmapping as the certified
+v5 path). The v8/retinanet/fcos reference TTA branches unmap xyxy corners
+instead; their no-TTA protocol paths are what the Trainer uses and what is
+certified here.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from ref_loader import (  # noqa: E402
+    REFERENCE,
+    load_reference_evaluator,
+    load_reference_model,
+)
+
+pytestmark = [
+    pytest.mark.skipif(not REFERENCE.exists(), reason="reference repo not mounted"),
+    pytest.mark.slow,
+]
+
+
+def protocol_hyp(nc, size, thr=0.001, **extra):
+    hyp = {
+        "device": "cpu",
+        "num_class": nc,
+        "input_img_size": [size, size],
+        "use_tta": False,
+        "iou_threshold": 0.65,
+        "conf_threshold": 0.25,
+        "cls_threshold": 0.3,
+        "compute_metric_iou_threshold": 0.65,
+        "compute_metric_conf_threshold": thr,
+        "compute_metric_cls_threshold": thr,
+        "mutil_label": False,
+        "agnostic": True,
+        "postprocess_bbox": True,
+        "max_predictions_per_img": 300,
+        "wfb": False,
+        "wfb_iou_threshold": 0.5,
+        "wfb_skip_box_threshold": 0.001,
+    }
+    hyp.update(extra)
+    return hyp
+
+
+def make_eval_cfg(family, hyp, use_tta=False, num_candidates=40000):
+    from yoloseries_tpu.evaluation import EvalConfig
+    from yoloseries_tpu.families import get_family
+
+    thr = hyp["compute_metric_conf_threshold"]
+    cfg = EvalConfig(
+        conf_threshold=thr, cls_threshold=thr, iou_threshold=0.65,
+        num_candidates=num_candidates,  # no preselect cap: match the oracle
+        max_keep=300, class_aware=True, merge_boxes=True, use_tta=use_tta,
+    )
+    return get_family(family).apply_eval_overrides(cfg, hyp)
+
+
+def _compare(ref_dets, our_dets, min_match=0.98, box_tol=0.5):
+    """Row-match the two detection sets per image with tie tolerance
+    (same matcher as tests/test_eval_oracle.py)."""
+    assert len(ref_dets) == len(our_dets)
+    for r, o in zip(ref_dets, our_dets):
+        r = np.zeros((0, 6), np.float32) if r is None else np.asarray(r, np.float32)
+        o = np.zeros((0, 6), np.float32) if o is None else np.asarray(o, np.float32)
+        assert abs(len(r) - len(o)) <= max(1, int(0.02 * max(len(r), 1))), (
+            f"count mismatch: ref {len(r)} vs ours {len(o)}"
+        )
+        if len(r) == 0:
+            continue
+        used = np.zeros(len(o), bool)
+        matched = 0
+        for row in r:
+            d = np.abs(o - row[None])
+            ok = (
+                (d[:, :4].max(axis=1) < box_tol)
+                & (d[:, 4] < 1e-3)
+                & (d[:, 5] < 0.5)
+                & ~used
+            )
+            j = np.argmax(ok)
+            if ok[j]:
+                used[j] = True
+                matched += 1
+        assert matched >= min_match * len(r), (
+            f"only {matched}/{len(r)} reference detections matched"
+        )
+
+
+def _structured_images(batch, size, seed, blocks_per_side=8):
+    """Blocky high-contrast images. Per-pixel iid noise averages to a
+    CONSTANT over deep receptive fields (law of large numbers), which
+    collapses head-score spread and manufactures NMS ties; big random
+    blocks keep deep features spatially varying."""
+    rng = np.random.default_rng(seed)
+    block = size // blocks_per_side
+    assert block * blocks_per_side == size
+    b = rng.uniform(0, 1, (batch, 3, blocks_per_side, blocks_per_side))
+    return np.kron(b.astype(np.float32),
+                   np.ones((1, 1, block, block), np.float32))
+
+
+def _run(ref_eval, our_eval, variables, size, seed, batch=2):
+    import torch
+
+    imgs = _structured_images(batch, size, seed)
+    ref_out = ref_eval(torch.from_numpy(imgs))
+    ref_dets = [None if x is None else np.asarray(x) for x in ref_out]
+    dets = our_eval(variables, imgs.transpose(0, 2, 3, 1))
+    our_dets = our_eval.to_host_detections(dets)
+    _compare(ref_dets, our_dets)
+    assert any(d is not None and len(d) for d in ref_dets)
+    return ref_dets, our_dets
+
+
+def _our_evaluator(family, model, hyp, nc, size, cfg):
+    from yoloseries_tpu.evaluation import Evaluator
+    from yoloseries_tpu.families import get_family
+
+    fam = get_family(family)
+    decode_fn = fam.make_decode(hyp, nc, (size, size))
+    return Evaluator(model.apply, decode_fn, cfg)
+
+
+def _perturb_yolox_heads(ref_model, boost=1.06):
+    """torch's default conv init attenuates activations ~0.92x per layer, so
+    a random-init yolox emits LITERALLY constant per-level maps (spatial std
+    ~1e-4 around the head biases): hundreds of exact-score NMS ties whose
+    tie-break order legitimately differs between numba argsort and our
+    top-k, making row-matching meaningless. Re-init every conv kernel
+    variance-preserving (kaiming * 1.06 to cancel the residual decay,
+    measured) so real spatial signal reaches the heads, spread the obj/cls
+    biases so scores span (0.001, 1), and pin the wh bias to e^2 cells
+    (damped wh rows) so neighboring boxes overlap past the .65 threshold
+    and the >=2-supporter merge filter keeps detections."""
+    import torch
+
+    sd = ref_model.state_dict()
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(77)
+        for k, v in sd.items():
+            if v.ndim == 4:
+                fan_in = v.shape[1] * v.shape[2] * v.shape[3]
+                v.normal_(0.0, boost * (2.0 / fan_in) ** 0.5, generator=g)
+        for k in sd:
+            if k.endswith(("cls.1.bias", "cof.bias")):
+                sd[k].add_(torch.randn(sd[k].shape, generator=g) * 1.0)
+            if k.endswith("reg.bias"):
+                sd[k][0:2].zero_()
+                sd[k][2:4] = 2.0
+            if k.endswith("reg.weight"):
+                sd[k][2:4].mul_(0.05)
+
+
+def test_e2e_eval_parity_yolox():
+    import torch
+
+    from yoloseries_tpu.models import create_model
+    from yoloseries_tpu.utils.torch_import import convert_yolox_state_dict
+
+    nc, size = 6, 160
+    torch.manual_seed(23)
+    ref_model = load_reference_model("yolox_s")(
+        num_anchors=1, in_channel=3, num_classes=nc
+    ).eval()
+    _perturb_yolox_heads(ref_model)
+    params, stats = convert_yolox_state_dict(ref_model.state_dict(), nc)
+    hyp = protocol_hyp(nc, size, num_stage=3, num_anchors=1)
+    ref_eval = load_reference_evaluator("yolox")(ref_model, hyp,
+                                                 compute_metric=True)
+    model = create_model("yolox_s", num_class=nc)
+    ours = _our_evaluator("yolox", model, hyp, nc, size,
+                          make_eval_cfg("yolox", hyp))
+    _run(ref_eval, ours, {"params": params, "batch_stats": stats}, size, 23)
+
+
+def test_e2e_eval_parity_yolox_tta():
+    import torch
+
+    from yoloseries_tpu.models import create_model
+    from yoloseries_tpu.utils.torch_import import convert_yolox_state_dict
+
+    nc, size = 6, 160
+    torch.manual_seed(29)
+    ref_model = load_reference_model("yolox_s")(
+        num_anchors=1, in_channel=3, num_classes=nc
+    ).eval()
+    _perturb_yolox_heads(ref_model)
+    params, stats = convert_yolox_state_dict(ref_model.state_dict(), nc)
+    hyp = protocol_hyp(nc, size, num_stage=3, num_anchors=1, use_tta=True)
+    ref_eval = load_reference_evaluator("yolox")(ref_model, hyp,
+                                                 compute_metric=True)
+    model = create_model("yolox_s", num_class=nc)
+    ours = _our_evaluator("yolox", model, hyp, nc, size,
+                          make_eval_cfg("yolox", hyp, use_tta=True))
+    _run(ref_eval, ours, {"params": params, "batch_stats": stats}, size, 29)
+
+
+def test_e2e_eval_parity_yolov8():
+    import torch
+
+    from yoloseries_tpu.models import create_model
+    from yoloseries_tpu.utils.torch_import import convert_yolov8_state_dict
+
+    nc, size = 6, 160
+    torch.manual_seed(31)
+    ref_model = load_reference_model("yolov8")(
+        in_channel=3, num_class=nc, scale=0.5
+    ).eval()
+    params, stats = convert_yolov8_state_dict(ref_model.state_dict(), nc)
+    hyp = protocol_hyp(nc, size, reg=16)
+    ref_eval = load_reference_evaluator("yolov8")(ref_model, hyp,
+                                                  compute_metric=True)
+    model = create_model("yolov8", num_class=nc)
+    ours = _our_evaluator("yolov8", model, hyp, nc, size,
+                          make_eval_cfg("yolov8", hyp))
+    _run(ref_eval, ours, {"params": params, "batch_stats": stats}, size, 31)
+
+
+def test_e2e_eval_parity_retinanet():
+    import torch
+
+    from yoloseries_tpu.models import create_model
+    from yoloseries_tpu.utils.torch_import import convert_retinanet_state_dict
+
+    nc, size = 4, 128
+    torch.manual_seed(37)
+    ref_model = load_reference_model("retinanet")(
+        num_anchor=9, num_class=nc, resnet_layers=[3, 4, 6, 3]
+    ).eval()
+    params, stats = convert_retinanet_state_dict(ref_model.state_dict(), nc)
+    hyp = protocol_hyp(nc, size, tar_box_scale_factor=[0.1, 0.1, 0.2, 0.2])
+    ref_eval = load_reference_evaluator("retinanet")(ref_model, hyp,
+                                                     compute_metric=True)
+    model = create_model("retinanet", num_class=nc)
+    ours = _our_evaluator("retinanet", model, hyp, nc, size,
+                          make_eval_cfg("retinanet", hyp))
+    _run(ref_eval, ours, {"params": params, "batch_stats": stats}, size, 37)
+
+
+def test_e2e_eval_parity_fcos():
+    import torch
+
+    from yoloseries_tpu.models import create_model
+    from yoloseries_tpu.utils.torch_import import convert_fcos_state_dict
+
+    nc, size = 4, 128
+    torch.manual_seed(41)
+    ref_model = load_reference_model("fcos")(
+        num_class=nc, resnet_layers=[3, 4, 6, 3],
+        norm_layer_type="group_norm", enable_head_scale=True,
+    ).eval()
+    params, stats = convert_fcos_state_dict(ref_model.state_dict(), nc)
+    # pre_nms_thresh == cls_threshold makes the reference's raw-cls gate
+    # implied by its ctr*cls > cls_threshold mask (ctr <= 1), so the
+    # candidate sets coincide; pre_nms_topk high enough to never truncate
+    hyp = protocol_hyp(nc, size, pre_nms_topk=40000, pre_nms_thresh=0.001,
+                       thresh_with_ctr=True, min_prediction_box_wh=2)
+    ref_eval = load_reference_evaluator("fcos")(ref_model, hyp,
+                                                compute_metric=True)
+    model = create_model("fcos", num_class=nc)
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    ours = _our_evaluator("fcos", model, hyp, nc, size,
+                          make_eval_cfg("fcos", hyp))
+    _run(ref_eval, ours, variables, size, 41)

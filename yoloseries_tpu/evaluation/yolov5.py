@@ -157,7 +157,11 @@ class EvalConfig:
     conf_threshold: float = 0.001
     cls_threshold: float = 0.001
     iou_threshold: float = 0.65
-    num_candidates: int = 2048
+    # pre-NMS candidate cap. 4096 (not 2048) so the count-based merge gate
+    # (`1 < n < 3000`, ops/nms.py) is exact and the capped protocol path
+    # matches the uncapped oracle (tests/test_candidate_cap.py certifies
+    # |delta mAP| ~ 0 on detection-dense images)
+    num_candidates: int = 4096
     max_keep: int = 300
     class_aware: bool = True  # the reference's (misnamed) `agnostic: true`
     merge_boxes: bool = True  # `postprocess_bbox`
@@ -174,6 +178,19 @@ class EvalConfig:
     use_wbf: bool = False
     wbf_iou_threshold: float = 0.5
     wbf_weights: tuple | None = None
+    # family quirks (see Family.eval_overrides):
+    # fcos reports conf = sqrt(ctr * cls) (trainer/eval_fcos.py:279)
+    conf_sqrt: bool = False
+    # retinanet writes the IoU-weighted merged boxes into the output rows
+    # instead of discarding them (trainer/eval_retinanet.py:344-351)
+    merge_write_boxes: bool = False
+    # v7/fcos post-NMS small-box filter (`min_prediction_box_wh`,
+    # trainer/eval_yolov7.py:276, eval_fcos.py:302): keep only detections
+    # whose width AND height strictly exceed this. None = off.
+    min_box_wh: float | None = None
+    # the reference gates the merge refinement on the pre-NMS candidate
+    # count `1 < n < 3000` (eval_yolov5.py:307; fcos `<= 300` -> 301)
+    merge_gate_max: int = 3000
 
 
 class Evaluator:
@@ -222,7 +239,7 @@ class Evaluator:
         use_pallas = self.cfg.use_pallas_nms
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
-        return postprocess_detections(
+        out = postprocess_detections(
             preds,
             conf_threshold=self.cfg.conf_threshold,
             cls_threshold=self.cfg.cls_threshold,
@@ -234,7 +251,21 @@ class Evaluator:
             use_pallas=use_pallas,
             multi_label=self.cfg.multi_label,
             nms_mode=self.cfg.nms_mode,
+            merge_write_boxes=self.cfg.merge_write_boxes,
+            merge_gate_max=self.cfg.merge_gate_max,
         )
+        return self._finalize(out)
+
+    def _finalize(self, out):
+        if self.cfg.min_box_wh is not None:
+            m = self.cfg.min_box_wh
+            big = ((out[..., 2] - out[..., 0]) > m) & (
+                (out[..., 3] - out[..., 1]) > m
+            )
+            out = out.at[..., 4].set(jnp.where(big, out[..., 4], 0.0))
+        if self.cfg.conf_sqrt:
+            out = out.at[..., 4].set(jnp.sqrt(out[..., 4]))
+        return out
 
     # ---- fused candidate path (select_fn): no dense decoded tensor ----
     def _select(self, variables, img):
@@ -272,7 +303,7 @@ class Evaluator:
             use_pallas = jax.default_backend() not in ("cpu",)
         from ..ops.nms import nms_candidates
 
-        return nms_candidates(
+        out = nms_candidates(
             boxes, scores, cls_ids,
             iou_threshold=self.cfg.iou_threshold,
             max_keep=self.cfg.max_keep,
@@ -280,7 +311,10 @@ class Evaluator:
             merge_boxes=self.cfg.merge_boxes,
             use_pallas=use_pallas,
             nms_mode=self.cfg.nms_mode,
+            merge_write_boxes=self.cfg.merge_write_boxes,
+            merge_gate_max=self.cfg.merge_gate_max,
         )
+        return self._finalize(out)
 
     def _run(self, variables, img):
         img = img.astype(jnp.float32)

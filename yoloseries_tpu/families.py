@@ -40,6 +40,17 @@ class Family:
     # (eval_cfg -> select_fn), where select_fn(stage_preds) returns
     # (boxes_xyxy, scores, cls_ids) without a dense decoded tensor
     make_select: Callable | None = None
+    # EvalConfig overrides for this family's postprocess quirks, as a
+    # callable (hyp) -> dict of EvalConfig fields (applied via
+    # `family.apply_eval_overrides(cfg, hyp)` wherever an Evaluator is
+    # built): fcos reports sqrt scores + small-box filter, yolov7 filters
+    # small boxes, retinanet emits merged boxes.
+    eval_overrides: Callable | None = None
+
+    def apply_eval_overrides(self, eval_cfg, hyp=None):
+        if self.eval_overrides is None:
+            return eval_cfg
+        return dataclasses.replace(eval_cfg, **self.eval_overrides(hyp or {}))
 
 
 def _yolov5_family():
@@ -162,7 +173,10 @@ def _retinanet_family(with_objectness: bool):
 
         anchors = jnp.asarray(pyramid_anchors(np.asarray(input_size)))
         scales = tuple(hyp.get("tar_box_scale_factor", (0.1, 0.1, 0.2, 0.2)))
-        return lambda preds: decode_retinanet(preds[0], preds[1], anchors, scales)
+        clip = tuple(input_size)  # reference rounds+clamps decoded boxes
+        return lambda preds: decode_retinanet(
+            preds[0], preds[1], anchors, scales, clip_size=clip
+        )
 
     def make_select(hyp, num_class, input_size):
         from .evaluation.retinanet import decode_topk_retinanet
@@ -177,12 +191,15 @@ def _retinanet_family(with_objectness: bool):
                 conf_threshold=eval_cfg.conf_threshold,
                 cls_threshold=eval_cfg.cls_threshold,
                 delta_scales=scales,
+                clip_size=tuple(input_size),
             )
 
         return builder
 
     name = "retinanet_experiment" if with_objectness else "retinanet"
-    return Family(name, make_loss, make_decode, make_select)
+    # trainer/eval_retinanet.py:344-351: merged boxes are written back
+    return Family(name, make_loss, make_decode, make_select,
+                  eval_overrides=lambda hyp: {"merge_write_boxes": True})
 
 
 def _yolov7_family():
@@ -234,7 +251,14 @@ def _yolov7_family():
 
         return builder
 
-    return Family("yolov7", make_loss, make_decode, make_select)
+    # trainer/eval_yolov7.py:276: post-NMS small-box filter (v7 and fcos
+    # are the only reference evaluators that apply remove_small_boxes)
+    return Family(
+        "yolov7", make_loss, make_decode, make_select,
+        eval_overrides=lambda hyp: {
+            "min_box_wh": float(hyp.get("min_prediction_box_wh", 0.0)),
+        },
+    )
 
 
 def _yolov8_family():
@@ -332,7 +356,17 @@ def _fcos_family():
 
         return builder
 
-    return Family("fcos", make_loss, make_decode, make_select)
+    # trainer/eval_fcos.py:279: reported conf is sqrt(ctr * cls);
+    # :302: post-NMS small-box filter (w, h must EXCEED the threshold)
+    return Family(
+        "fcos", make_loss, make_decode, make_select,
+        eval_overrides=lambda hyp: {
+            "conf_sqrt": True,
+            "min_box_wh": float(hyp.get("min_prediction_box_wh", 0.0)),
+            # fcos's merge gate is `1 < n <= 300` (eval_fcos.py:289)
+            "merge_gate_max": 301,
+        },
+    )
 
 
 _FAMILIES: dict[str, Family] = {}

@@ -137,7 +137,8 @@ def select_topk_candidates(boxes, scores, classes, k):
     jax.jit,
     static_argnames=(
         "num_candidates", "max_keep", "class_aware", "merge_boxes",
-        "use_pallas", "multi_label", "nms_mode",
+        "use_pallas", "multi_label", "nms_mode", "merge_write_boxes",
+        "merge_gate_max",
     ),
 )
 def postprocess_detections(
@@ -152,6 +153,8 @@ def postprocess_detections(
     use_pallas=False,
     multi_label=False,
     nms_mode="greedy",
+    merge_write_boxes=False,
+    merge_gate_max=3000,
 ):
     """Full postprocess: (N, 5+nc) or (B, N, 5+nc) decoded preds ->
     (..., max_keep, 6).
@@ -209,6 +212,8 @@ def postprocess_detections(
         merge_boxes=merge_boxes,
         use_pallas=use_pallas,
         nms_mode=nms_mode,
+        merge_write_boxes=merge_write_boxes,
+        merge_gate_max=merge_gate_max,
     )
     return out[0] if single else out
 
@@ -223,6 +228,8 @@ def nms_candidates(
     merge_boxes=True,
     use_pallas=False,
     nms_mode="greedy",
+    merge_write_boxes=False,
+    merge_gate_max=3000,
 ):
     """NMS + supporter-count merge over pre-selected candidates.
 
@@ -278,16 +285,38 @@ def nms_candidates(
     if merge_boxes:
         # "postprocess_bbox" refinement (trainer/eval_yolov5.py:306-315): count
         # each keeper's supporters (candidates with IoU > threshold) and drop
-        # keepers with fewer than 2. NB the reference computes an IoU-weighted
-        # merged box but then emits the ORIGINAL coordinates (x[keep_index]),
-        # so only the supporter-count filter is live behavior — replicated
-        # here. (Reference also gates on 1 < bbox_num < 3000; with static
-        # shapes we apply the filter unconditionally.)
+        # keepers with fewer than 2. NB most reference evaluators compute an
+        # IoU-weighted merged box but then emit the ORIGINAL coordinates
+        # (x[keep_index] — the merge is written into the discarded offset
+        # array), so only the supporter-count filter is live behavior —
+        # replicated here. The retinanet evaluator alone writes the merged
+        # coordinates back into the OUTPUT rows (trainer/eval_retinanet.py:
+        # 344-351, `x[keep_index, :4] = ...`): ``merge_write_boxes`` enables
+        # that.
+        #
+        # The whole refinement is gated on the candidate count:
+        # `1 < bbox_num < 3000` (eval_yolov5.py:307; fcos uses <= 300 —
+        # pass merge_gate_max=301, eval_fcos.py:289). With static shapes the
+        # per-image count is the number of positive-score candidate slots —
+        # exact whenever num_candidates >= merge_gate_max (the protocol
+        # configs ensure this; a full candidate buffer smaller than the gate
+        # can't distinguish "exactly k" from "more than k").
         kept_off = jnp.take_along_axis(boxes_off, safe_idx[..., None], axis=1)
         iou_km = pairwise_iou(kept_off, boxes_off)  # (B, max_keep, K)
         support = (iou_km > iou_threshold) & (score_k[:, None, :] > 0.0)
         n_support = jnp.sum(support, axis=-1)
-        out_scores = jnp.where(n_support > 1, out_scores, 0.0)
+        n_valid = jnp.sum(score_k > 0.0, axis=-1)  # (B,)
+        gated = (n_valid > 1) & (n_valid < merge_gate_max)  # (B,)
+        if merge_write_boxes:
+            w = jnp.where(iou_km > iou_threshold, score_k[:, None, :], 0.0)
+            merged = jnp.matmul(w, boxes_k) / (
+                jnp.sum(w, axis=-1, keepdims=True) + 1e-16
+            )
+            write = gated[:, None, None] & keep_valid[..., None]
+            out_boxes = jnp.where(write, merged, out_boxes)
+        out_scores = jnp.where(
+            gated[:, None] & (n_support <= 1), 0.0, out_scores
+        )
 
     return jnp.concatenate(
         [out_boxes, out_scores[..., None], out_cls[..., None]], axis=-1
