@@ -69,13 +69,13 @@ def main():
     @jax.jit
     def e2e_protocol(variables, img_u8):
         """The mAP-validation configuration (config/validation.yaml:4-8):
-        conf .001 / iou .65 / f32 / 2048 candidates — what evaluate()
+        conf .001 / iou .65 / f32 / 4096 candidates — what evaluate()
         actually runs (the Evaluator's fused single-label path), reported
         alongside the serving number (VERDICT r1)."""
         img = img_u8.astype(jnp.float32) / 255.0
         preds = model.apply(variables, img, train=False)
         boxes, scores, cls_ids = decode_topk_yolov5(
-            preds, anchors, k=2048, conf_threshold=0.001, cls_threshold=0.001,
+            preds, anchors, k=4096, conf_threshold=0.001, cls_threshold=0.001,
         )
         out = nms_candidates(
             boxes, scores, cls_ids,

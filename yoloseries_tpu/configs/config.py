@@ -135,6 +135,10 @@ class TrainConfig:
             conf_threshold=hyp.get("compute_metric_conf_threshold", 0.001),
             cls_threshold=hyp.get("compute_metric_cls_threshold", 0.001),
             iou_threshold=hyp.get("compute_metric_iou_threshold", 0.65),
+            # pre-NMS candidate cap (the reference's fcos `pre_nms_topk`;
+            # certified vs the uncapped oracle in tests/test_eval_oracle.py)
+            num_candidates=hyp.get("eval_num_candidates",
+                                   hyp.get("pre_nms_topk", 4096)),
             max_keep=hyp.get("max_predictions_per_img", 300),
             class_aware=hyp.get("agnostic", True),
             merge_boxes=hyp.get("postprocess_bbox", True),
