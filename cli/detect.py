@@ -31,6 +31,13 @@ def parse_args():
     p.add_argument("--conf", type=float, default=0.3)
     p.add_argument("--iou", type=float, default=0.2)
     p.add_argument("--bf16", action="store_true")
+    # deploy-time graph folding before inference (detect_yolov5.py:110-117:
+    # the reference fuses conv+BN and reparameterizes RepConv on load).
+    # Under jit BN folding is a compile-time no-op for latency; it is kept
+    # for checkpoint-export parity and to drop BN state from serving
+    # artifacts. --no-fuse disables it.
+    p.add_argument("--no-fuse", dest="fuse", action="store_false")
+    p.set_defaults(fuse=True)
     return p.parse_args()
 
 
@@ -82,6 +89,7 @@ def main():
 
     eval_cfg = EvalConfig(conf_threshold=args.conf, cls_threshold=args.conf,
                           iou_threshold=args.iou, merge_boxes=True)
+    eval_cfg = family.apply_eval_overrides(eval_cfg)
     select_builder = (family.make_select({}, num_class, input_size)
                       if family.make_select else None)
     evaluator = Evaluator(
@@ -91,6 +99,16 @@ def main():
     variables = {"params": state.ema_params}
     if state.ema_batch_stats:
         variables["batch_stats"] = state.ema_batch_stats
+    if args.fuse and state.ema_batch_stats:
+        from yoloseries_tpu.nn.deploy import fold_conv_bn
+
+        params_f, stats_f = fold_conv_bn(
+            variables["params"], variables["batch_stats"]
+        )
+        variables = {"params": params_f, "batch_stats": stats_f}
+        print("fused conv+bn for deploy (BN running stats absorbed into "
+              "conv kernels; detections are bit-identical, see "
+              "tests/test_aux_components.py)")
 
     paths = sorted(
         p for p in Path(args.img_dir).iterdir()

@@ -29,6 +29,11 @@ def parse_args():
     p.add_argument("--tta", action="store_true")
     p.add_argument("--plot-dir", default=None, help="save P/R/F1/PR curves")
     p.add_argument("--max-batches", type=int, default=None)
+    # offline-mAP debugging dumps (`save_pred_bbox`/`save_gt_bbox`,
+    # train_yolov5.py:758-762): pickle the per-image (n, 6) predictions and
+    # (n, 5) gts in original-image coordinates
+    p.add_argument("--save-pkl-dir", default=None,
+                   help="dump pred_bbox.pkl / gt_bbox.pkl here")
     return p.parse_args()
 
 
@@ -78,9 +83,12 @@ def main():
         conf_threshold=hyp.get("compute_metric_conf_threshold", 0.001),
         cls_threshold=hyp.get("compute_metric_cls_threshold", 0.001),
         iou_threshold=hyp.get("compute_metric_iou_threshold", 0.65),
+        num_candidates=hyp.get("eval_num_candidates",
+                               hyp.get("pre_nms_topk", 4096)),
         max_keep=hyp.get("max_predictions_per_img", 300),
         use_tta=hyp.get("use_tta", False),
     )
+    eval_cfg = family.apply_eval_overrides(eval_cfg, hyp)
     select_builder = (family.make_select(hyp, num_class, input_size)
                       if family.make_select else None)
     evaluator = Evaluator(
@@ -94,6 +102,7 @@ def main():
     loader = DataLoader(dataset, batch_size=args.batch_size, shuffle=False,
                         infinite=False, enable_aug=False)
     metrics = DetectionMetrics()
+    all_preds, all_gts = [], []
     try:
         for bi, batch in enumerate(loader):
             if args.max_batches is not None and bi >= args.max_batches:
@@ -111,8 +120,27 @@ def main():
                 g[:, 3] = ((gt[:, 3] - pt) / scale).clip(0, oh)
                 g[:, 4] = gt[:, 4]
                 metrics.add_image(g, preds[i])
+                if args.save_pkl_dir:
+                    p_i = preds[i]
+                    all_preds.append(
+                        np.zeros((0, 6)) if p_i is None else np.asarray(p_i)
+                    )
+                    all_gts.append(g)
     finally:
         loader.stop()
+
+    if args.save_pkl_dir:
+        import pickle
+        from pathlib import Path
+
+        pkl_dir = Path(args.save_pkl_dir)
+        pkl_dir.mkdir(parents=True, exist_ok=True)
+        size = args.input_size
+        with open(pkl_dir / f"pred_bbox_{size}_{args.model}.pkl", "wb") as f:
+            pickle.dump(all_preds, f)
+        with open(pkl_dir / "gt_bbox.pkl", "wb") as f:
+            pickle.dump(all_gts, f)
+        print(f"prediction/gt pickles saved to {pkl_dir}")
 
     out = metrics.compute()
     print(

@@ -250,3 +250,38 @@ def test_crop_classifier_dataset(tmp_path):
     assert len(batches) == 2  # drop_last
     assert batches[0]["img"].shape == (2, 32, 32, 3)
     assert batches[0]["cls"].tolist() == [0, 1]
+
+
+@pytest.mark.slow
+def test_deploy_fold_detections_identical():
+    """The cli/detect.py --fuse path (detect_yolov5.py:110-117 parity): a
+    whole yolov5s variables tree folded by fold_conv_bn must produce the
+    SAME detections through the public Evaluator as the unfused tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from yoloseries_tpu.evaluation import EvalConfig, Evaluator
+    from yoloseries_tpu.families import get_family
+    from yoloseries_tpu.models import create_model
+
+    nc, size = 4, 96
+    model = create_model("yolov5s", num_class=nc)
+    v = model.init(jax.random.PRNGKey(3), jnp.zeros((1, size, size, 3)),
+                   train=False)
+    # non-trivial BN stats everywhere
+    rng = np.random.default_rng(5)
+    stats = jax.tree.map(
+        lambda a: jnp.asarray(
+            rng.uniform(0.5, 2.0, a.shape).astype(np.float32)),
+        v["batch_stats"],
+    )
+    fam = get_family("yolov5s")
+    cfg = EvalConfig(conf_threshold=0.001, cls_threshold=0.001,
+                     iou_threshold=0.65, num_candidates=256, max_keep=50)
+    ev = Evaluator(model.apply, fam.make_decode({}, nc, (size, size)), cfg)
+    x = np.random.default_rng(7).uniform(0, 1, (1, size, size, 3)).astype(np.float32)
+
+    base = np.asarray(ev({"params": v["params"], "batch_stats": stats}, x))
+    p_f, s_f = fold_conv_bn(v["params"], stats)
+    fused = np.asarray(ev({"params": p_f, "batch_stats": s_f}, x))
+    np.testing.assert_allclose(fused, base, rtol=2e-3, atol=5e-3)
