@@ -78,7 +78,10 @@ def main():
     eval_fn = None
     if trainer.val_dataset is not None:
         eval_fn = lambda tr: tr.evaluate()
-    trainer.train(eval_fn=eval_fn)
+    try:
+        trainer.train(eval_fn=eval_fn)
+    finally:
+        trainer.close()
 
 
 if __name__ == "__main__":

@@ -102,7 +102,7 @@ def test_trainer_end_to_end(micro_dirs, tmp_path):
         tr.load()
         assert int(tr.state.step) == step_before
     finally:
-        tr.train_loader.stop()
+        tr.close()
 
 
 def test_config_from_reference_yaml(tmp_path):

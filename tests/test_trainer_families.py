@@ -76,4 +76,4 @@ def test_family_trains_and_evals(model_name, tiny_dirs, tmp_path):
         out = tr.evaluate(max_batches=1)
         assert np.isfinite(out["map50"])
     finally:
-        tr.train_loader.stop()
+        tr.close()

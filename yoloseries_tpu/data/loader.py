@@ -254,6 +254,30 @@ class DataLoader:
             raise StopIteration
         return batch
 
+    def restart(self):
+        """Re-arm a finite loader for another pass, reusing the worker
+        pools (a val loader is used once per epoch with `val_every: 1`;
+        rebuilding it would pay a process-pool spin-up every call)."""
+        if self.infinite:
+            raise ValueError("restart() only applies to finite loaders")
+        # stop a possibly still-running pass (early consumer exit leaves the
+        # producer blocked on queue.put) and drain everything it buffered
+        self._stop.set()
+        while self._producer.is_alive():
+            try:
+                self._queue.get(timeout=0.1)
+            except Exception:
+                pass
+        try:
+            while True:
+                self._queue.get_nowait()
+        except Exception:
+            pass
+        self._stop.clear()
+        self._sample_counter = 0  # identical (seed, sample) RNG streams
+        self._producer = threading.Thread(target=self._produce, daemon=True)
+        self._producer.start()
+
     def stop(self):
         self._stop.set()
         # drain so the producer can exit

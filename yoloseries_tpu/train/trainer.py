@@ -180,9 +180,10 @@ class Trainer:
             self.family.make_select(cfg.hyp, self.num_class, cfg.input_size)
             if self.family.make_select else None
         )
+        eval_cfg = self.family.apply_eval_overrides(cfg.eval, cfg.hyp)
         self.evaluator = Evaluator(
-            self.model.apply, decode_fn, cfg.eval,
-            select_fn=select_builder(cfg.eval) if select_builder else None,
+            self.model.apply, decode_fn, eval_cfg,
+            select_fn=select_builder(eval_cfg) if select_builder else None,
         )
         self.start_epoch = 0
         self.ckpt_dir = Path(cfg.output_dir) / "checkpoints"
@@ -279,16 +280,14 @@ class Trainer:
                     self.writer.add_scalar(f"train/{k}", v, global_it)
 
     def _current_lr(self, global_it: int) -> float:
-        """Host-side mirror of the 'other'-group schedule (optim.py
-        _group_schedule): linear warmup from 0, then epoch-factor decay."""
-        from .optim import lr_schedule_factor
+        """The 'other'-group lr at this iteration, evaluated from the SAME
+        `_group_schedule` closure build_optimizer injects into optax — the
+        logged lr cannot drift from the optimizer if optim.py changes."""
+        if getattr(self, "_lr_schedule", None) is None:
+            from .optim import _group_schedule
 
-        oc = self.cfg.optim
-        epoch = global_it // max(oc.steps_per_epoch, 1)
-        base = oc.lr * float(lr_schedule_factor(oc, epoch))
-        if oc.warmup_steps > 0 and global_it < oc.warmup_steps:
-            return oc.lr * global_it / oc.warmup_steps
-        return base
+            self._lr_schedule = _group_schedule(self.cfg.optim, 0.0)
+        return float(self._lr_schedule(global_it))
 
     def _log_progress(self, epoch, total, it, global_it, batch):
         """Periodic in-epoch progress line (train_yolov5.py:409-417): percent
@@ -407,33 +406,44 @@ class Trainer:
     def evaluate(self, max_batches: int | None = None) -> dict:
         """mAP over the val set with reference thresholds (val protocol)."""
         assert self.val_dataset is not None, "no val dirs configured"
-        loader = DataLoader(
-            self.val_dataset, batch_size=self.cfg.batch_size,
-            max_labels=self.cfg.max_labels, workers=self.cfg.num_workers,
-            shuffle=False, infinite=False, enable_aug=False,
-        )
+        # persistent val loader: with `val_every: 1` a fresh DataLoader per
+        # call would spin up and tear down a process pool every epoch
+        if getattr(self, "_val_loader", None) is None:
+            self._val_loader = DataLoader(
+                self.val_dataset, batch_size=self.cfg.batch_size,
+                max_labels=self.cfg.max_labels, workers=self.cfg.num_workers,
+                shuffle=False, infinite=False, enable_aug=False,
+            )
+        else:
+            self._val_loader.restart()
+        loader = self._val_loader
         variables = self.eval_variables()
         metrics = DetectionMetrics()
-        try:
-            # pipelined: submit batch i's jitted eval, then pull batch i-1's
-            # detections to host while i runs (same async-dispatch rationale
-            # as the train loop — a per-batch host sync serializes dispatch
-            # latency into every eval step)
-            pending = None
-            for bi, batch in enumerate(loader):
-                if max_batches is not None and bi >= max_batches:
-                    break
-                dets = self.evaluator(variables, batch["img"])
-                if pending is not None:
-                    self._accumulate_eval(metrics, *pending)
-                pending = (dets, batch)
+        # pipelined: submit batch i's jitted eval, then pull batch i-1's
+        # detections to host while i runs (same async-dispatch rationale
+        # as the train loop — a per-batch host sync serializes dispatch
+        # latency into every eval step). The loader stays alive for the
+        # next evaluate() call; Trainer.close() stops it.
+        pending = None
+        for bi, batch in enumerate(loader):
+            if max_batches is not None and bi >= max_batches:
+                break
+            dets = self.evaluator(variables, batch["img"])
             if pending is not None:
                 self._accumulate_eval(metrics, *pending)
-        finally:
-            loader.stop()
+            pending = (dets, batch)
+        if pending is not None:
+            self._accumulate_eval(metrics, *pending)
         out = metrics.compute()
         self.log(
             f"mAP {out['map']:.4f} mAP50 {out['map50']:.4f} "
             f"P {out['mp']:.4f} R {out['mr']:.4f}"
         )
         return out
+
+    def close(self):
+        """Stop loader worker pools (train + persistent val)."""
+        self.train_loader.stop()
+        if getattr(self, "_val_loader", None) is not None:
+            self._val_loader.stop()
+            self._val_loader = None
