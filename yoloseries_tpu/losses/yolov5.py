@@ -106,9 +106,10 @@ def yolov5_loss(
         fm_h, fm_w = pred.shape[1], pred.shape[2]
         stride = w_in / fm_w
         anchors_stage = (anchors[i] / stride).astype(jnp.float32)  # (A, 2)
-        pred = pred.astype(jnp.float32).reshape(
-            batch_size, fm_h, fm_w, na, 5 + nc
-        )
+        # keep the model's compute dtype for the big map; only the gathered
+        # candidate rows and the objectness slice are cast to f32 (avoids
+        # materializing a full-size f32 copy of every stage map)
+        pred = pred.reshape(batch_size, fm_h, fm_w, na, 5 + nc)
 
         scale = jnp.array([fm_w, fm_h, fm_w, fm_h], jnp.float32)
         t_stage = t_xywhn.astype(jnp.float32) * scale  # (B, M, 4)
@@ -127,7 +128,9 @@ def yolov5_loss(
         pred_flat = pred.reshape(batch_size, fm_h * fm_w * na, 5 + nc)
         idx2 = flat_idx.reshape(batch_size, -1)  # (B, M*A*5)
         cur = jnp.take_along_axis(pred_flat, idx2[..., None], axis=1)
-        cur = cur.reshape(batch_size, num_boxes, na, 5, 5 + nc)
+        cur = cur.reshape(batch_size, num_boxes, na, 5, 5 + nc).astype(
+            jnp.float32
+        )
 
         # ---- classification (positives only, loss/yolov5_loss.py:81-93)
         if nc > 1:
@@ -165,27 +168,50 @@ def yolov5_loss(
         iou_val = ciou(pred_box, t_box)  # (B, M, A, 5)
         iou_loss += jnp.sum((1.0 - iou_val) * maskf) / jnp.maximum(n_pos, 1.0)
 
-        # ---- objectness target grid: scatter detached clamped IoU
-        # (loss/yolov5_loss.py:113-114); duplicate cells resolve by max.
+        # ---- objectness: the reference scatters detached clamped IoU into a
+        # dense (B, H, W, A) target grid (loss/yolov5_loss.py:113-114) and
+        # BCEs the whole map; duplicate cells resolve by max. An XLA TPU
+        # scatter over millions of grid slots serializes and dominated the
+        # step-time profile, so use the exact sparse decomposition
+        #     sum bce(logit, t_grid) = sum bce(logit, 0)
+        #       + sum_winners [bce(l_j, v_j) - bce(l_j, 0)]
+        # where a "winner" is the max candidate of its cell (ties: first
+        # index, matching scatter-max). The full-grid term fuses into one
+        # elementwise pass over the prediction map; the correction runs on
+        # the <=M*A*5 gathered candidates.
         iou_detached = jnp.clip(jax.lax.stop_gradient(iou_val), 0.0) * maskf
-        b_idx = jnp.broadcast_to(
-            jnp.arange(batch_size)[:, None, None, None], mask.shape
-        )
-        g_idx = (b_idx * (fm_h * fm_w * na) + flat_idx).reshape(-1)
-        t_cof = (
-            jnp.zeros((batch_size * fm_h * fm_w * na,), jnp.float32)
-            .at[g_idx]
-            .max(iou_detached.reshape(-1))
-            .reshape(batch_size, fm_h, fm_w, na)
-        )
 
-        obj_logits = pred[..., 4]  # (B, H, W, A)
-        bce_cof = bce_with_logits(obj_logits, t_cof, cfg.cof_pos_weight)
-        if cfg.use_focal_loss:
-            bce_cof = bce_cof * focal_loss_factor(
-                obj_logits, t_cof, cfg.focal_loss_gamma, cfg.focal_loss_alpha
-            )
-        cof_i = jnp.mean(bce_cof) * balances[i]
+        def obj_term(lg, t):
+            b = bce_with_logits(lg, t, cfg.cof_pos_weight)
+            if cfg.use_focal_loss:
+                b = b * focal_loss_factor(
+                    lg, t, cfg.focal_loss_gamma, cfg.focal_loss_alpha
+                )
+            return b
+
+        obj_logits = pred[..., 4].astype(jnp.float32)  # (B, H, W, A)
+        full_sum = jnp.sum(obj_term(obj_logits, 0.0))
+
+        vals = iou_detached.reshape(batch_size, -1)  # (B, J)
+        livef = maskf.reshape(batch_size, -1)  # (B, J)
+        j_ids = jnp.arange(vals.shape[1])
+        v_k, v_j = vals[:, :, None], vals[:, None, :]
+        same = idx2[:, :, None] == idx2[:, None, :]  # (B, J, J)
+        beats = (
+            same
+            & (livef[:, :, None] > 0)
+            & ((v_k > v_j) | ((v_k == v_j) & (j_ids[:, None] < j_ids[None, :])))
+        )
+        winner = (livef > 0) & ~jnp.any(beats, axis=1)  # (B, J)
+        l_cand = cur[..., 4].reshape(batch_size, -1)  # gathered obj logits
+        corr = jnp.where(
+            winner, obj_term(l_cand, vals) - obj_term(l_cand, 0.0), 0.0
+        )
+        cof_i = (
+            (full_sum + jnp.sum(corr))
+            / (batch_size * fm_h * fm_w * na)
+            * balances[i]
+        )
         # balance EMA self-tuning (loss/yolov5_loss.py:124)
         new_balances.append(
             balances[i] * 0.9999 + 0.0001 / jax.lax.stop_gradient(cof_i)

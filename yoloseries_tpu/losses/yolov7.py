@@ -150,7 +150,9 @@ def yolov7_loss(
         fm_h, fm_w = pred.shape[1], pred.shape[2]
         stride = w_in / fm_w
         anchors_stage = (anchors[i] / stride).astype(jnp.float32)
-        pred = pred.astype(jnp.float32).reshape(B, fm_h, fm_w, na, 5 + nc)
+        # keep the model's compute dtype for the big map; only the gathered
+        # candidate rows and the objectness slice are cast to f32
+        pred = pred.reshape(B, fm_h, fm_w, na, 5 + nc)
 
         scale = jnp.array([fm_w, fm_h, fm_w, fm_h], jnp.float32)
         a = _assign_stage_thr(
@@ -165,7 +167,8 @@ def yolov7_loss(
         pred_flat = pred.reshape(B, fm_h * fm_w * na, 5 + nc)
         idx2 = flat_idx.reshape(B, -1)
         cur = jnp.take_along_axis(pred_flat, idx2[..., None], axis=1)
-        cur = cur.reshape(B, M, na, 5, 5 + nc)  # (B, M, A, 5off, 85)
+        # (B, M, A, 5off, 85)
+        cur = cur.reshape(B, M, na, 5, 5 + nc).astype(jnp.float32)
 
         # decoded candidate boxes in pixels for the OTA cost (:283-295)
         grid_xy = jnp.stack([a["gx"], a["gy"]], axis=-1).astype(jnp.float32)
@@ -235,29 +238,46 @@ def yolov7_loss(
         iou_val = ciou(pred_box, xywh2xyxy(t_box))
         iou_loss += jnp.sum((1.0 - iou_val) * keepf) / jnp.maximum(n_pos, 1.0)
 
-        # ---- objectness grid (:133-136)
+        # ---- objectness (:133-136). The reference scatters the detached
+        # cof target into a dense grid; a TPU scatter serializes, so use the
+        # exact sparse decomposition (see losses/yolov5.py):
+        #   sum bce(logit, t_grid) = sum bce(logit, 0)
+        #     + sum_winners [bce(l_j, v_j) - bce(l_j, 0)]
+        # with per-cell max winners (ties: first index, matching scatter-max).
         if cfg.use_iou_as_tar_cof:
             cof_target = jnp.clip(jax.lax.stop_gradient(iou_val), 0.0) * keepf
         else:
             cof_target = keepf
-        g_idx = (
-            b_idx * (fm_h * fm_w * na) + flat_idx.reshape(B, -1)
-        ).reshape(-1)
-        t_cof = (
-            jnp.zeros((B * fm_h * fm_w * na,), jnp.float32)
-            .at[g_idx]
-            .max(cof_target.reshape(-1))
-            .reshape(B, fm_h, fm_w, na)
-        )
 
-        obj_logits = pred[..., 4]
-        bce_cof = bce_with_logits(obj_logits, t_cof, cfg.cof_pos_weight)
-        if cfg.use_focal_loss:
-            bce_cof = bce_cof * focal_loss_factor(
-                obj_logits, t_cof, cfg.focal_loss_gamma, cfg.focal_loss_alpha
-            )
+        def obj_term(lg, t):
+            b = bce_with_logits(lg, t, cfg.cof_pos_weight)
+            if cfg.use_focal_loss:
+                b = b * focal_loss_factor(
+                    lg, t, cfg.focal_loss_gamma, cfg.focal_loss_alpha
+                )
+            return b
+
+        obj_logits = pred[..., 4].astype(jnp.float32)
+        full_sum = jnp.sum(obj_term(obj_logits, 0.0))
+
+        idx_c = flat_idx.reshape(B, C)
+        j_ids = jnp.arange(C)
+        v_k, v_j = cof_target[:, :, None], cof_target[:, None, :]
+        same = idx_c[:, :, None] == idx_c[:, None, :]
+        beats = (
+            same
+            & (keepf[:, :, None] > 0)
+            & ((v_k > v_j) | ((v_k == v_j) & (j_ids[:, None] < j_ids[None, :])))
+        )
+        winner = (keepf > 0) & ~jnp.any(beats, axis=1)  # (B, C)
+        l_cand = cur_flat[..., 4]  # (B, C) gathered obj logits
+        corr = jnp.where(
+            winner, obj_term(l_cand, cof_target) - obj_term(l_cand, 0.0), 0.0
+        )
         # NB: sum / num_targets, not mean (loss/yolov7_loss.py:151)
-        cof_i = (jnp.sum(bce_cof) / jnp.maximum(n_pos, 1.0)) * balances[i]
+        cof_i = (
+            (full_sum + jnp.sum(corr)) / jnp.maximum(n_pos, 1.0)
+        ) * balances[i]
         new_balances.append(
             balances[i] * 0.9999 + 0.0001 / jax.lax.stop_gradient(cof_i)
         )
