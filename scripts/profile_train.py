@@ -17,9 +17,15 @@ Usage:  PYTHONPATH=/root/repo:$PYTHONPATH python scripts/profile_train.py
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent compile cache: repeat profile runs skip the ~15 min of
+# compiles over the tunneled chip (same setup as bench.py)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
 def sync_median(fn, args_list, warmup=1, iters=6):
