@@ -254,11 +254,23 @@ def nms_candidates(
 
     if nms_mode == "greedy":
         if use_pallas:
-            from ..kernels.nms_pallas import pallas_greedy_nms
+            b_n, k_n = score_k.shape
+            if k_n <= 1024 and b_n <= 16:
+                # small-batch/serving regime: the matrix kernel converges in
+                # suppression-chain-depth rounds over a VMEM-resident (K, K)
+                # IoU matrix instead of one sequential round per keeper —
+                # exact same greedy semantics (kernels/nms_matrix.py)
+                from ..kernels.nms_matrix import pallas_matrix_nms
 
-            keep_idx, keep_valid = pallas_greedy_nms(
-                boxes_off, score_k, iou_threshold, max_keep=max_keep
-            )
+                keep_idx, keep_valid = pallas_matrix_nms(
+                    boxes_off, score_k, iou_threshold, max_keep=max_keep
+                )
+            else:
+                from ..kernels.nms_pallas import pallas_greedy_nms
+
+                keep_idx, keep_valid = pallas_greedy_nms(
+                    boxes_off, score_k, iou_threshold, max_keep=max_keep
+                )
         else:
             keep_idx, keep_valid = jax.vmap(
                 lambda bb, ss: greedy_nms(bb, ss, iou_threshold, max_keep)
