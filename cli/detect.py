@@ -31,6 +31,8 @@ def parse_args():
     p.add_argument("--conf", type=float, default=0.3)
     p.add_argument("--iou", type=float, default=0.2)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--s2d-stem", action="store_true",
+                   help="checkpoint was trained with s2d_stem: true")
     # deploy-time graph folding before inference (detect_yolov5.py:110-117:
     # the reference fuses conv+BN and reparameterizes RepConv on load).
     # Under jit BN folding is a compile-time no-op for latency; it is kept
@@ -70,7 +72,8 @@ def main():
 
     input_size = (args.input_size, args.input_size)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    model = create_model(args.model, num_class=num_class, dtype=dtype)
+    model_kw = {"s2d_stem": True} if args.s2d_stem else {}
+    model = create_model(args.model, num_class=num_class, dtype=dtype, **model_kw)
     family = get_family(args.model)
     _, balances0 = family.make_loss({}, num_class, input_size)
     decode_fn = family.make_decode({}, num_class, input_size)

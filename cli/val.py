@@ -62,7 +62,10 @@ def main():
     )
     num_class = dataset.num_class
 
-    model = create_model(args.model, num_class=num_class)
+    # s2d_stem changes the stem-kernel layout in the checkpoint — the val
+    # model must be built with the same knob the training run used.
+    model_kw = {"s2d_stem": True} if hyp.get("s2d_stem") else {}
+    model = create_model(args.model, num_class=num_class, **model_kw)
     family = get_family(args.model)
     loss_fn, balances0 = family.make_loss(hyp, num_class, input_size)
     decode_fn = family.make_decode(hyp, num_class, input_size)

@@ -47,6 +47,13 @@ def main():
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--nc", type=int, default=80)
     ap.add_argument("--accumulate", type=int, default=1)
+    ap.add_argument("--s2d-stem", action="store_true",
+                    help="space-to-depth stem reparam (equivalent arithmetic)")
+    ap.add_argument("--remat", action="store_true",
+                    help="per-CSP-stage activation rematerialization")
+    ap.add_argument("--stages", default="fwd,loss,fwd_loss,grad,full_step",
+                    help="comma list of stages to time (full_step is cheapest "
+                         "to compile for flag sweeps)")
     ap.add_argument("--trace", default=None,
                     help="directory for a jax.profiler trace of 3 full steps")
     args = ap.parse_args()
@@ -63,7 +70,8 @@ def main():
     from yoloseries_tpu.utils.summary import summarize_model
 
     B, S, nc = args.batch, args.size, args.nc
-    model = create_model("yolov5s", num_class=nc, dtype=jnp.bfloat16)
+    model = create_model("yolov5s", num_class=nc, dtype=jnp.bfloat16,
+                         s2d_stem=args.s2d_stem, remat=args.remat)
     gflops = summarize_model(model, (1, S, S, 3))["gflops"]
     loss_cfg = YOLOv5LossConfig(num_class=nc, input_size=(S, S))
     anchors = jnp.asarray(YOLOV5_ANCHORS)
@@ -87,6 +95,7 @@ def main():
         anns.append(jnp.asarray(ann))
 
     params, stats, balances = state.params, state.batch_stats, state.balances
+    stages = set(args.stages.split(","))
 
     # ---- fwd only
     @jax.jit
@@ -96,7 +105,8 @@ def main():
                                train=True, mutable=["batch_stats"])
         return sum(jnp.sum(x.astype(jnp.float32)) for x in preds)
 
-    t_fwd = sync_median(fwd, [(params, stats, im) for im in imgs])
+    t_fwd = (sync_median(fwd, [(params, stats, im) for im in imgs])
+             if "fwd" in stages else None)
 
     # ---- loss only (on materialized preds)
     def run_model(img_u8):
@@ -105,15 +115,18 @@ def main():
                                train=True, mutable=["batch_stats"])
         return preds
 
-    preds_fixed = [jax.tree.map(jnp.copy, run_model(im)) for im in imgs]
+    if "loss" in stages:
+        preds_fixed = [jax.tree.map(jnp.copy, run_model(im)) for im in imgs]
 
-    @jax.jit
-    def loss_only(preds, ann):
-        d, _ = yolov5_loss(preds, ann, anchors, balances, loss_cfg)
-        return d["tot_loss"]
+        @jax.jit
+        def loss_only(preds, ann):
+            d, _ = yolov5_loss(preds, ann, anchors, balances, loss_cfg)
+            return d["tot_loss"]
 
-    t_loss = sync_median(loss_only,
-                         [(p, a) for p, a in zip(preds_fixed, anns)])
+        t_loss = sync_median(loss_only,
+                             [(p, a) for p, a in zip(preds_fixed, anns)])
+    else:
+        t_loss = None
 
     # ---- fwd + loss (no grad)
     @jax.jit
@@ -124,8 +137,9 @@ def main():
         d, _ = yolov5_loss(preds, ann, anchors, balances, loss_cfg)
         return d["tot_loss"]
 
-    t_fwdloss = sync_median(
+    t_fwdloss = (sync_median(
         fwd_loss, [(params, stats, im, an) for im, an in zip(imgs, anns)])
+        if "fwd_loss" in stages else None)
 
     # ---- grad of fwd+loss
     @jax.jit
@@ -134,8 +148,9 @@ def main():
         return jax.tree.reduce(
             jnp.add, jax.tree.map(lambda x: jnp.sum(x.astype(jnp.float32)), g))
 
-    t_grad = sync_median(
+    t_grad = (sync_median(
         grad_sum, [(params, stats, im, an) for im, an in zip(imgs, anns)])
+        if "grad" in stages else None)
 
     # ---- full step
     step = make_train_step(loss_cfg, YOLOV5_ANCHORS, accumulate=args.accumulate,
@@ -147,7 +162,8 @@ def main():
         state, m = step(state, b)
         return m["tot_loss"]
 
-    t_step = sync_median(full, [(b,) for b in batches])
+    t_step = (sync_median(full, [(b,) for b in batches])
+              if "full_step" in stages else None)
 
     if args.trace:
         import jax.profiler as prof
@@ -159,6 +175,8 @@ def main():
 
     peak = 197e12
     def line(name, t):
+        if t is None:
+            return
         img_s = B / t
         print(json.dumps({
             "stage": name, "ms": round(t * 1e3, 2),
@@ -172,10 +190,11 @@ def main():
     line("fwd_loss", t_fwdloss)
     line("grad", t_grad)
     line("full_step", t_step)
-    print(json.dumps({
-        "stage": "mfu_full_step_3x",
-        "value": round(3 * gflops * 1e9 * (B / t_step) / peak, 4),
-    }))
+    if t_step is not None:
+        print(json.dumps({
+            "stage": "mfu_full_step_3x",
+            "value": round(3 * gflops * 1e9 * (B / t_step) / peak, 4),
+        }))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,120 @@
+"""Sweep XLA/libtpu flags + model perf knobs over the train step.
+
+Round-3 MFU follow-up (VERDICT round-2 item 2): the step is conv-backward
+bound (fwd ~32% MFU, bwd ~1.5x fwd per FLOP), so the remaining levers are
+compiler scheduling/memory flags and the equivalence-preserving model
+reparams (space-to-depth stem, per-stage remat + bigger batch). XLA flags
+bind at backend init, so every variant runs in its own subprocess via
+scripts/profile_train.py --stages full_step.
+
+Usage (on the real chip):
+  PYTHONPATH=/root/repo:$PYTHONPATH python scripts/sweep_xla_flags.py
+  [--batch 128] [--size 640] [--quick]
+
+Prints one JSON line per variant and a ranked summary. Compiles are cached
+persistently (/tmp/jax_bench_cache), so a re-run is cheap; the first run
+pays one compile per variant.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (name, extra profile_train args, env overrides)
+VARIANTS = [
+    ("baseline", [], {}),
+    ("s2d_stem", ["--s2d-stem"], {}),
+    # remat frees HBM; pair it with the batch the chip couldn't fit before
+    ("remat_b256", ["--remat", "--batch", "256"], {}),
+    ("s2d_remat_b256", ["--s2d-stem", "--remat", "--batch", "256"], {}),
+    (
+        "latency_hiding",
+        [],
+        {"XLA_FLAGS": "--xla_tpu_enable_latency_hiding_scheduler=true"},
+    ),
+    (
+        "vmem_128m",
+        [],
+        {"XLA_FLAGS": "--xla_tpu_scoped_vmem_limit_kib=131072"},
+    ),
+    (
+        "s2d_vmem_128m",
+        ["--s2d-stem"],
+        {"XLA_FLAGS": "--xla_tpu_scoped_vmem_limit_kib=131072"},
+    ),
+]
+
+
+def run_variant(name, extra, env_over, batch, size, timeout):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    for k, v in env_over.items():
+        env[k] = (env.get(k, "") + " " + v).strip() if k == "XLA_FLAGS" else v
+    cmd = [
+        sys.executable, os.path.join(REPO, "scripts", "profile_train.py"),
+        "--stages", "full_step", "--size", str(size),
+    ]
+    if "--batch" not in extra:
+        cmd += ["--batch", str(batch)]
+    cmd += extra
+    try:
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return {"variant": name, "error": f"timeout after {timeout}s"}
+    if out.returncode != 0:
+        return {"variant": name,
+                "error": (out.stderr or out.stdout).strip()[-400:]}
+    result = {"variant": name}
+    for ln in out.stdout.splitlines():
+        if not ln.startswith("{"):
+            continue
+        d = json.loads(ln)
+        if d.get("stage") == "full_step":
+            result.update(ms=d["ms"], img_s=d["img_s"])
+        if d.get("stage") == "mfu_full_step_3x":
+            result["mfu"] = d["value"]
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--size", type=int, default=640)
+    ap.add_argument("--timeout", type=int, default=2400,
+                    help="per-variant wall cap (first run compiles)")
+    ap.add_argument("--quick", action="store_true",
+                    help="only baseline + the two model reparams")
+    ap.add_argument("--only", default=None,
+                    help="comma list of variant names to run")
+    args = ap.parse_args()
+
+    chosen = VARIANTS
+    if args.quick:
+        chosen = [v for v in VARIANTS
+                  if v[0] in ("baseline", "s2d_stem", "s2d_remat_b256")]
+    if args.only:
+        names = set(args.only.split(","))
+        chosen = [v for v in VARIANTS if v[0] in names]
+
+    results = []
+    for name, extra, env_over in chosen:
+        print(f"# running {name} ...", file=sys.stderr)
+        r = run_variant(name, extra, env_over, args.batch, args.size,
+                        args.timeout)
+        print(json.dumps(r))
+        sys.stdout.flush()
+        results.append(r)
+
+    ok = [r for r in results if "img_s" in r]
+    if ok:
+        best = max(ok, key=lambda r: r["img_s"])
+        print(json.dumps({"summary": "best", **best}))
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,9 @@ class TrainConfig:
     seed: int = 7
     num_workers: int = 8
     do_ema: bool = True
+    # per-CSP-stage activation remat (models that support it); lifts the
+    # activation-memory ceiling at ~1 extra forward of block FLOPs
+    remat: bool = False
     no_aug_epochs: int = 10
     val_every: int = 1
     save_every: int = 1
@@ -153,6 +156,7 @@ class TrainConfig:
             seed=hyp.get("random_seed", 7),
             num_workers=hyp.get("num_workers", 8) or 8,
             do_ema=hyp.get("do_ema", True),
+            remat=hyp.get("remat", False),
             no_aug_epochs=hyp.get("no_data_aug_epoch", 10),
             val_every=hyp.get("validation_every", 1),
             save_every=hyp.get("save_ckpt_every", 1),

@@ -39,7 +39,24 @@ from ..nn.layers import (
     upsample2x,
 )
 
-__all__ = ["CSPTrunk", "YOLOv5", "YOLOV5_SIZES", "YOLOv5Spec"]
+__all__ = ["CSPTrunk", "YOLOv5", "YOLOV5_SIZES", "YOLOv5Spec", "space_to_depth2"]
+
+
+def space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel order (dy, dx, c).
+
+    TPU stem trick: the reference's 6x6/2 stem conv reads a 3-channel
+    640x640 image — the VPU/MXU lane dimension (channels) is padded 3->8
+    at the largest spatial extent in the network. Rearranging 2x2 pixel
+    blocks into channels first makes the stem a 3x3/1 conv over a
+    (320, 320, 12) input: identical arithmetic (see
+    nn/deploy.py:fold_stem_to_s2d for the exact kernel mapping), 4x less
+    padded-lane waste on the most expensive feature map.
+    """
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,6 +89,14 @@ class CSPTrunk(nn.Module):
 
     spec: YOLOv5Spec = YOLOV5_SIZES["s"]
     dtype: Any = jnp.float32
+    # Rematerialize each CSP stage in the backward pass (jax.checkpoint per
+    # block — same params/grads, ~extra forward of FLOPs for a large
+    # activation-memory cut; lifts the b128@640 HBM ceiling on a 16 GB chip).
+    remat: bool = False
+    # Space-to-depth stem: mathematically equivalent reparam of the 6x6/2
+    # stem (see space_to_depth2); weights convert both ways via
+    # nn/deploy.py:fold_stem_to_s2d.
+    s2d_stem: bool = False
 
     def _conv(self, out, kernel, stride, name):
         if self.spec.depthwise and kernel > 1:
@@ -81,6 +106,8 @@ class CSPTrunk(nn.Module):
 
     def _csp(self, out, shortcut, depth, name):
         cls = BottleneckCSP if self.spec.plain_bscp else C3BottleneckCSP
+        if self.remat:
+            cls = nn.remat(cls, static_argnums=(2,))
         return cls(out, shortcut=shortcut, num_blocks=depth, dtype=self.dtype, name=name)
 
     @nn.compact
@@ -94,6 +121,9 @@ class CSPTrunk(nn.Module):
         # stem: /2
         if dw:
             x = Focus(w, 3, 1, dtype=self.dtype, name="stem")(x, train)
+        elif self.s2d_stem:
+            x = space_to_depth2(x)
+            x = ConvBnAct(w, 3, 1, padding=1, dtype=self.dtype, name="stem")(x, train)
         else:
             x = ConvBnAct(w, 6, 2, padding=2, dtype=self.dtype, name="stem")(x, train)
 
@@ -139,10 +169,15 @@ class YOLOv5(nn.Module):
     spec: YOLOv5Spec = YOLOV5_SIZES["s"]
     num_anchor: int = 3
     dtype: Any = jnp.float32
+    remat: bool = False
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Sequence[jnp.ndarray]:
-        feats = CSPTrunk(spec=self.spec, dtype=self.dtype, name="trunk")(x, train)
+        feats = CSPTrunk(
+            spec=self.spec, dtype=self.dtype, remat=self.remat,
+            s2d_stem=self.s2d_stem, name="trunk",
+        )(x, train)
         return DetectHead(
             num_class=self.num_class,
             num_anchor=self.num_anchor,

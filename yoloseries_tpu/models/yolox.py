@@ -105,10 +105,15 @@ class YOLOX(nn.Module):
     spec: YOLOXSpec = YOLOX_SIZES["s"]
     num_anchor: int = 1
     dtype: Any = jnp.float32
+    remat: bool = False
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
-        feats = CSPTrunk(spec=self.spec.trunk, dtype=self.dtype, name="trunk")(x, train)
+        feats = CSPTrunk(
+            spec=self.spec.trunk, dtype=self.dtype, remat=self.remat,
+            s2d_stem=self.s2d_stem, name="trunk",
+        )(x, train)
         outs = []
         for i, f in enumerate(feats):
             outs.append(

@@ -19,7 +19,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["fold_conv_bn", "fold_repconv_params"]
+__all__ = [
+    "fold_conv_bn",
+    "fold_repconv_params",
+    "fold_stem_to_s2d",
+    "fold_stem_from_s2d",
+    "stem_kernel_to_s2d",
+    "stem_kernel_from_s2d",
+]
 
 
 def _fold_one(kernel, bn_scale, bn_bias, bn_mean, bn_var, eps=1e-3):
@@ -131,3 +138,70 @@ def fold_repconv_params(rep_params, rep_stats, eps=1e-3):
         kernel = kernel + ki
         bias = bias + bi
     return kernel, bias
+
+
+def stem_kernel_to_s2d(k6: jnp.ndarray) -> jnp.ndarray:
+    """Map a 6x6/stride-2 stem kernel to the equivalent 3x3/stride-1 kernel
+    over a space_to_depth2 input (models/yolov5.py:space_to_depth2).
+
+    Derivation: output row y of the 6x6/s2 conv (padding 2) reads input rows
+    2y + ky - 2, ky in 0..5. Writing ky = 2*ky' + dy (ky' in 0..2,
+    dy in {0, 1}) gives rows 2*(y + ky' - 1) + dy — i.e. row (y + ky' - 1)
+    of the space-to-depth tensor at block offset dy: a 3x3/s1 conv with
+    padding 1. The s2d channel order is (dy, dx, c), so
+    W3[ky', kx', (dy, dx, c)] = W6[2*ky' + dy, 2*kx' + dx, c]. Exact,
+    including zero-padding at the borders.
+    """
+    kh, kw, cin, cout = k6.shape
+    if (kh, kw) != (6, 6):
+        raise ValueError(f"expected a 6x6 stem kernel, got {(kh, kw)}")
+    k = k6.reshape(3, 2, 3, 2, cin, cout)  # (ky', dy, kx', dx, c, o)
+    k = k.transpose(0, 2, 1, 3, 4, 5)      # (ky', kx', dy, dx, c, o)
+    return k.reshape(3, 3, 4 * cin, cout)
+
+
+def stem_kernel_from_s2d(k3: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`stem_kernel_to_s2d` (for exporting back to the
+    reference's 6x6 layout, e.g. torch-checkpoint round trips)."""
+    kh, kw, cin4, cout = k3.shape
+    if (kh, kw) != (3, 3) or cin4 % 4:
+        raise ValueError(f"expected a 3x3 s2d stem kernel, got {k3.shape}")
+    cin = cin4 // 4
+    k = k3.reshape(3, 3, 2, 2, cin, cout)  # (ky', kx', dy, dx, c, o)
+    k = k.transpose(0, 2, 1, 3, 4, 5)      # (ky', dy, kx', dx, c, o)
+    return k.reshape(6, 6, cin, cout)
+
+
+def fold_stem_to_s2d(params):
+    """Convert a params pytree for the standard 6x6-stem model into one for
+    the same model constructed with ``s2d_stem=True`` (and vice-versa is
+    :func:`fold_stem_from_s2d`). Only the stem conv kernel changes; BN and
+    every other leaf are shared as-is."""
+    return _map_stem_kernel(params, stem_kernel_to_s2d, want_kh=6)
+
+
+def fold_stem_from_s2d(params):
+    return _map_stem_kernel(params, stem_kernel_from_s2d, want_kh=3)
+
+
+def _map_stem_kernel(params, fn, want_kh):
+    def walk(p):
+        if not isinstance(p, dict):
+            return p
+        new = {k: walk(v) for k, v in p.items()}
+        stem = new.get("stem")
+        if isinstance(stem, dict):
+            conv = stem.get("conv")
+            if (
+                isinstance(conv, dict)
+                and "kernel" in conv
+                and conv["kernel"].ndim == 4
+                and conv["kernel"].shape[0] == want_kh
+            ):
+                new["stem"] = {
+                    **stem,
+                    "conv": {**conv, "kernel": fn(conv["kernel"])},
+                }
+        return new
+
+    return walk(dict(params))

@@ -78,6 +78,12 @@ def make_train_step(
     (k*B, H, W, 3), 'ann': f32 (k*B, M, 6)} with k = ``accumulate``
     microbatches stacked along the batch axis, and returns
     (new_state, metrics).
+
+    Activation rematerialization is a MODEL knob, not a step knob (a
+    single outer jax.checkpoint region saves nothing: its backward
+    re-materializes the whole forward anyway). Pass ``remat=True`` to
+    the model constructor (models/yolov5.py CSPTrunk) to checkpoint per
+    CSP stage instead.
     """
     if isinstance(loss, YOLOv5LossConfig):
         cfg = loss

@@ -115,9 +115,23 @@ class Trainer:
         )
 
         resolved_name = model_name or cfg.model
-        self.model = create_model(
-            resolved_name, num_class=self.num_class, dtype=compute_dtype,
-        )
+        model_kw = dict(num_class=self.num_class, dtype=compute_dtype)
+        perf_kw = {}
+        if cfg.remat:
+            perf_kw["remat"] = True
+        if cfg.hyp.get("s2d_stem", False):
+            perf_kw["s2d_stem"] = True
+        try:
+            self.model = create_model(resolved_name, **perf_kw, **model_kw)
+        except TypeError:
+            if not perf_kw:
+                raise
+            # family without the remat/s2d knobs yet
+            self.log(
+                f"{sorted(perf_kw)} requested but {resolved_name} does not "
+                "support it; continuing without"
+            )
+            self.model = create_model(resolved_name, **model_kw)
         tx_params = self.model.init(
             jax.random.PRNGKey(cfg.seed),
             jnp.zeros((1, *cfg.input_size, 3)),
@@ -309,9 +323,38 @@ class Trainer:
             f"eta {eta}"
         )
 
+    def precompile_multi_scale(self):
+        """Compile every multi-scale bucket's train step up front.
+
+        Multi-scale training touches up to ~21 /32-bucket shapes at 640
+        (train_yolov5.py:536-543); by default each bucket pays its compile
+        on first encounter, scattering multi-second (worse over a tunneled
+        chip: multi-minute) stalls through the first epoch. This runs one
+        dummy step per bucket against a throwaway copy of the state —
+        populating the jit and persistent compile caches — so the epoch
+        loop runs stall-free. Opt in with `precompile_multi_scale: true`.
+        """
+        sizes = self.multi_scale_sizes or [self.cfg.input_size[0]]
+        b = self.cfg.batch_size * self.cfg.accumulate
+        m = self.cfg.max_labels
+        # throwaway state: donation invalidates it, the real state is untouched
+        tmp = jax.tree.map(jnp.copy, self.state)
+        for s in sizes:
+            t0 = time.time()
+            batch = self._device_batch({
+                "img": np.zeros((b, s, s, 3), np.uint8),
+                "ann": np.full((b, m, 6), -1.0, np.float32),
+            })
+            tmp, _ = self._step_fn_for((s, s))(tmp, batch)
+            jax.block_until_ready(tmp.step)
+            self.log(f"precompiled train step @ {s}px in {time.time() - t0:.1f}s")
+        del tmp
+
     def train(self, epochs: int | None = None, eval_fn=None):
         cfg = self.cfg
         total = epochs or cfg.total_epochs
+        if cfg.hyp.get("precompile_multi_scale") and self.start_epoch == 0:
+            self.precompile_multi_scale()
         aug_closed = False
         for epoch in range(self.start_epoch, total):
             if (
