@@ -18,6 +18,8 @@ P5000, README.md:91-94).
 
 import json
 import os
+import socket
+import sys
 import time
 
 import numpy as np
@@ -28,7 +30,34 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
+def _preflight_relay():
+    """Fail fast if the axon loopback relay is dead.
+
+    The axon plugin registers from sitecustomize at interpreter start and
+    blocks indefinitely trying to reach the relay — if the relay process is
+    gone (observed mid-round-3), `import jax` hangs forever. This module is
+    imported BEFORE jax, so probe the relay's TCP ports here and exit with
+    a parseable error line instead of hanging the driver."""
+    if os.environ.get("PALLAS_AXON_POOL_IPS") in (None, ""):
+        return  # CPU / non-axon run
+    for port in (8082, 8083, 8087, 8092):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=2):
+                return  # relay alive
+        except OSError:
+            continue
+    print(json.dumps({
+        "metric": "yolov5s_640_e2e_infer",
+        "value": 0.0,
+        "unit": "img/s/chip",
+        "error": "axon relay unreachable (all loopback ports closed); "
+                 "TPU tunnel is down — bench skipped instead of hanging",
+    }))
+    sys.exit(2)
+
+
 def main():
+    _preflight_relay()
     import jax
     import jax.numpy as jnp
 
@@ -175,10 +204,13 @@ def main():
     }))
 
 
-def _bench_train_step(batch=128, size=640, nc=80):
+def _bench_train_step(batch=None, size=640, nc=80):
     """One fused train step (grad + sgd update + EMA) throughput and an MFU
     estimate: 3x forward GFLOPs per image (fwd + ~2x bwd) over the v5e chip's
-    197 TFLOP/s bf16 peak."""
+    197 TFLOP/s bf16 peak.
+
+    Env knobs for the perf variants (defaults match the certified config):
+    BENCH_TRAIN_BATCH, BENCH_TRAIN_S2D=1, BENCH_TRAIN_REMAT=1."""
     import jax
     import jax.numpy as jnp
 
@@ -190,7 +222,12 @@ def _bench_train_step(batch=128, size=640, nc=80):
     )
     from yoloseries_tpu.utils.summary import summarize_model
 
-    model = create_model("yolov5s", num_class=nc, dtype=jnp.bfloat16)
+    batch = batch or int(os.environ.get("BENCH_TRAIN_BATCH", 128))
+    model = create_model(
+        "yolov5s", num_class=nc, dtype=jnp.bfloat16,
+        s2d_stem=os.environ.get("BENCH_TRAIN_S2D") == "1",
+        remat=os.environ.get("BENCH_TRAIN_REMAT") == "1",
+    )
     gflops = summarize_model(model, (1, size, size, 3))["gflops"]
 
     cfg = OptimizerConfig(batch_size=batch, total_epochs=2, steps_per_epoch=4,

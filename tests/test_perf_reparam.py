@@ -156,3 +156,55 @@ def test_trainer_accepts_remat_and_s2d(tmp_path):
             assert (s, s) in tr._step_fns
     finally:
         tr.close()
+
+
+@pytest.mark.parametrize(
+    "build",
+    [
+        lambda r: __import__("yoloseries_tpu.models", fromlist=["YOLOv7"]).YOLOv7(
+            num_class=4, remat=r),
+        lambda r: __import__("yoloseries_tpu.models", fromlist=["YOLOv8"]).YOLOv8(
+            num_class=4, scale=0.25, remat=r),
+        lambda r: __import__("yoloseries_tpu.models", fromlist=["RetinaNet"]).RetinaNet(
+            num_class=4, resnet_layers=(1, 1, 1, 1), remat=r),
+        lambda r: __import__("yoloseries_tpu.models", fromlist=["FCOS"]).FCOS(
+            num_class=4, resnet_layers=(1, 1, 1, 1), remat=r),
+        lambda r: __import__("yoloseries_tpu.models", fromlist=["FCOSCSPNet"]).FCOSCSPNet(
+            num_class=4, remat=r),
+    ],
+    ids=["yolov7", "yolov8", "retinanet", "fcos", "fcos_csp"],
+)
+def test_family_remat_param_tree_identical(build):
+    """remat=True must not change the param pytree for any family (so
+    checkpoints are interchangeable and grads are bit-identical by
+    jax.checkpoint semantics — value-checked for the trunk in
+    test_remat_grads_identical)."""
+    x = jnp.zeros((1, 64, 64, 3))
+    v_a = build(False).init(jax.random.PRNGKey(0), x, train=False)
+    v_b = build(True).init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v_a) == jax.tree_util.tree_structure(v_b)
+    for a, b in zip(jax.tree.leaves(v_a), jax.tree.leaves(v_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_yolov8_remat_grads_identical(rng):
+    from yoloseries_tpu.models import YOLOv8
+
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    base = YOLOv8(num_class=4, scale=0.25)
+    rem = YOLOv8(num_class=4, scale=0.25, remat=True)
+    v = base.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(params, model):
+        outs, _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in outs)
+
+    g_a = jax.jit(jax.grad(loss), static_argnums=1)(v["params"], base)
+    g_b = jax.jit(jax.grad(loss), static_argnums=1)(v["params"], rem)
+    for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-5)

@@ -71,9 +71,12 @@ class GNResNet(nn.Module):
     layers: tuple = (3, 4, 6, 3)
     inplane: int = 64
     dtype: Any = jnp.float32
+    # per-bottleneck-block activation remat (same params/grads, frees HBM)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
+        Block = (nn.remat(GNBottleneck) if self.remat else GNBottleneck)
         x = nn.Conv(self.inplane, (7, 7), strides=(2, 2), padding=3,
                     use_bias=False, kernel_init=KAIMING, dtype=self.dtype,
                     name="stem_conv")(x)
@@ -86,8 +89,8 @@ class GNResNet(nn.Module):
             planes = self.inplane * (2**si)
             stride = 1 if si == 0 else 2
             for bi in range(n_blocks):
-                x = GNBottleneck(planes, stride if bi == 0 else 1,
-                                 dtype=self.dtype, name=f"layer{si + 1}_{bi}")(x)
+                x = Block(planes, stride if bi == 0 else 1,
+                          dtype=self.dtype, name=f"layer{si + 1}_{bi}")(x)
             feats.append(x)
         return feats[1], feats[2], feats[3]
 
@@ -174,12 +177,13 @@ class FCOS(nn.Module):
     resnet_layers: tuple = (3, 4, 6, 3)
     enable_scale: bool = True
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         del train  # GN backbone: no batch statistics
         c3, c4, c5 = GNResNet(layers=self.resnet_layers, dtype=self.dtype,
-                              name="backbone")(x)
+                              remat=self.remat, name="backbone")(x)
         feats = FCOSFPN(dtype=self.dtype, name="fpn")(c3, c4, c5)
         return FCOSHead(
             num_class=self.num_class, num_levels=5,
@@ -194,12 +198,12 @@ class FCOSCSPNet(nn.Module):
     num_class: int
     enable_scale: bool = True
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        feats = CSPTrunk(spec=YOLOV5_SIZES["s"], dtype=self.dtype, name="trunk")(
-            x, train
-        )
+        feats = CSPTrunk(spec=YOLOV5_SIZES["s"], dtype=self.dtype,
+                         remat=self.remat, name="trunk")(x, train)
         # unify channels to 256 for the shared head
         feats = [
             nn.Conv(256, (1, 1), kernel_init=KAIMING, dtype=self.dtype,

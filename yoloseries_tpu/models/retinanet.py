@@ -87,9 +87,13 @@ class ResNetBackbone(nn.Module):
     layers: tuple = (3, 4, 6, 3)
     inplane: int = 64
     dtype: Any = jnp.float32
+    # per-bottleneck-block activation remat (same params/grads, frees HBM)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        Block = (nn.remat(BottleneckBlock, static_argnums=(2,))
+                 if self.remat else BottleneckBlock)
         x = nn.Conv(self.inplane, (7, 7), strides=(2, 2), padding=3,
                     use_bias=False, kernel_init=KAIMING, dtype=self.dtype,
                     name="stem_conv")(x)
@@ -103,7 +107,7 @@ class ResNetBackbone(nn.Module):
             planes = self.inplane * (2**si)
             stride = 1 if si == 0 else 2
             for bi in range(n_blocks):
-                x = BottleneckBlock(
+                x = Block(
                     planes, stride if bi == 0 else 1, dtype=self.dtype,
                     name=f"layer{si + 1}_{bi}",
                 )(x, train)
@@ -172,11 +176,13 @@ class RetinaNet(nn.Module):
     resnet_layers: tuple = (3, 4, 6, 3)
     with_objectness: bool = False  # the "experiment" variant (reg -> 5 dims)
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c3, c4, c5 = ResNetBackbone(
-            layers=self.resnet_layers, dtype=self.dtype, name="backbone"
+            layers=self.resnet_layers, dtype=self.dtype, remat=self.remat,
+            name="backbone",
         )(x, train)
         pyramid = FPN(dtype=self.dtype, name="fpn")(c3, c4, c5)
 

@@ -2,7 +2,7 @@
 implicit-knowledge detect. NHWC rebuild of models/normal/yolov7.py:11-486.
 
 Graph (reference layer indices in comments there):
-* backbone: 3x3 stem -> /2 -> ELAN4(taps after every 2nd conv) at /4,
+* backbone: 3x3 stem -> /2 -> ELAN4 (taps after every 2nd conv) at /4,
   then 3 x [maxpool+conv downsample -> ELAN4] to /8, /16, /32
   (routes tapped at /8 and /16),
 * head: CSPCSPP on /32, two top-down ELAN6 blocks (taps after EVERY conv),
@@ -118,48 +118,56 @@ class YOLOv7(nn.Module):
     num_class: int
     num_anchor: int = 3
     dtype: Any = jnp.float32
+    # per-ELAN-block activation remat (same params/grads; frees HBM —
+    # v7@640 holds the largest activations of the six families)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
         c = lambda ch, k, s, name: ConvBnAct(
             ch, k, s, padding=0 if k == 1 else None, dtype=self.dtype, name=name
         )
+        ELAN4_, ELAN6_ = (
+            (nn.remat(ELAN4, static_argnums=(2,)),
+             nn.remat(ELAN6, static_argnums=(2,)))
+            if self.remat else (ELAN4, ELAN6)
+        )
         # ---- backbone (yolov7.py:19-74 / forward :83-155)
         x = c(32, 3, 1, "stem")(x, train)
         x = c(64, 3, 2, "b1_cv1")(x, train)  # /2
         x = c(64, 3, 1, "b1_cv2")(x, train)
         x = c(128, 3, 2, "b2_down")(x, train)  # /4
-        x = ELAN4(64, 256, dtype=self.dtype, name="b2_elan")(x, train)
+        x = ELAN4_(64, 256, dtype=self.dtype, name="b2_elan")(x, train)
 
         x = MPDown(128, dtype=self.dtype, name="b3_down")(x, train)  # /8
-        r3 = ELAN4(128, 512, dtype=self.dtype, name="b3_elan")(x, train)
+        r3 = ELAN4_(128, 512, dtype=self.dtype, name="b3_elan")(x, train)
         x = MPDown(256, dtype=self.dtype, name="b4_down")(r3, train)  # /16
-        r4 = ELAN4(256, 1024, dtype=self.dtype, name="b4_elan")(x, train)
+        r4 = ELAN4_(256, 1024, dtype=self.dtype, name="b4_elan")(x, train)
         x = MPDown(512, dtype=self.dtype, name="b5_down")(r4, train)  # /32
-        x = ELAN4(256, 1024, dtype=self.dtype, name="b5_elan")(x, train)
+        x = ELAN4_(256, 1024, dtype=self.dtype, name="b5_elan")(x, train)
 
         # ---- head (yolov7.py:161-219 / :231-337)
         spp = CSPCSPP(512, dtype=self.dtype, name="spp")(x, train)  # /32
 
         t = upsample2x(c(256, 1, 1, "h1_lat")(spp, train))
         r4p = c(256, 1, 1, "h1_route")(r4, train)
-        e1 = ELAN6(256, 256, dtype=self.dtype, name="h1_elan")(
+        e1 = ELAN6_(256, 256, dtype=self.dtype, name="h1_elan")(
             jnp.concatenate([r4p, t], axis=-1), train
         )  # /16
 
         t = upsample2x(c(128, 1, 1, "h2_lat")(e1, train))
         r3p = c(128, 1, 1, "h2_route")(r3, train)
-        e2 = ELAN6(128, 128, dtype=self.dtype, name="h2_elan")(
+        e2 = ELAN6_(128, 128, dtype=self.dtype, name="h2_elan")(
             jnp.concatenate([r3p, t], axis=-1), train
         )  # /8
 
         d = MPDown(128, dtype=self.dtype, name="h3_down")(e2, train)  # /16
-        e3 = ELAN6(256, 256, dtype=self.dtype, name="h3_elan")(
+        e3 = ELAN6_(256, 256, dtype=self.dtype, name="h3_elan")(
             jnp.concatenate([d, e1], axis=-1), train
         )
 
         d = MPDown(256, dtype=self.dtype, name="h4_down")(e3, train)  # /32
-        e4 = ELAN6(512, 512, dtype=self.dtype, name="h4_elan")(
+        e4 = ELAN6_(512, 512, dtype=self.dtype, name="h4_elan")(
             jnp.concatenate([d, spp], axis=-1), train
         )
 

@@ -70,6 +70,8 @@ class YOLOv8(nn.Module):
     scale: float = 0.5  # C2f depth multiplier (train_yolov8.py invocation)
     reg: int = 16
     dtype: Any = jnp.float32
+    # per-C2f-block activation remat (same params/grads, frees HBM)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
@@ -77,8 +79,9 @@ class YOLOv8(nn.Module):
         # (models/normal/yolov8.py:100-107); head C2f blocks are 3 * scale.
         d3 = max(int(3 * self.scale), 1)
         d6 = max(int(6 * self.scale), 1)
+        C2f_ = nn.remat(C2f, static_argnums=(2,)) if self.remat else C2f
         cba = lambda ch, k, s, name: ConvBnAct(ch, k, s, dtype=self.dtype, name=name)
-        c2f = lambda ch, sc, name, d=d3: C2f(
+        c2f = lambda ch, sc, name, d=d3: C2f_(
             ch, shortcut=sc, num_blocks=d, dtype=self.dtype, name=name
         )
 
