@@ -29,6 +29,10 @@ def parse_args():
     p.add_argument("--out", required=True, help="output run dir (checkpoints/ "
                                                 "is created inside)")
     p.add_argument("--input-size", type=int, default=640)
+    p.add_argument("--s2d-stem", action="store_true",
+                   help="convert the 6x6/2 stem to the space-to-depth layout "
+                        "(exact reparam; pair with `s2d_stem: true` at "
+                        "train/val time)")
     return p.parse_args()
 
 
@@ -82,7 +86,14 @@ def main():
     else:
         ema_params, ema_stats = params, stats
 
-    model = create_model(args.model, num_class=args.num_class)
+    if args.s2d_stem:
+        from yoloseries_tpu.nn.deploy import fold_stem_to_s2d
+
+        params = fold_stem_to_s2d(params)
+        ema_params = fold_stem_to_s2d(ema_params)
+
+    model = create_model(args.model, num_class=args.num_class,
+                         **({"s2d_stem": True} if args.s2d_stem else {}))
     family = get_family(args.model)
     _, balances0 = family.make_loss(
         hyp, args.num_class, (args.input_size, args.input_size)
