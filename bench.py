@@ -67,7 +67,11 @@ def main():
     from yoloseries_tpu.ops.nms import nms_candidates
 
     batch = 256
-    model = create_model("yolov5s", num_class=80, dtype=jnp.bfloat16)
+    # BENCH_INFER_S2D=1: space-to-depth stem (exact reparam, nn/deploy.py)
+    model = create_model(
+        "yolov5s", num_class=80, dtype=jnp.bfloat16,
+        s2d_stem=os.environ.get("BENCH_INFER_S2D") == "1",
+    )
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 640, 640, 3)), train=False
     )

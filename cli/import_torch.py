@@ -91,6 +91,7 @@ def main():
 
         params = fold_stem_to_s2d(params)
         ema_params = fold_stem_to_s2d(ema_params)
+        hyp["s2d_stem"] = True  # record the stem layout in the ckpt hyp
 
     model = create_model(args.model, num_class=args.num_class,
                          **({"s2d_stem": True} if args.s2d_stem else {}))
