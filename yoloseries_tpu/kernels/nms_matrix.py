@@ -39,11 +39,14 @@ __all__ = ["pallas_matrix_nms"]
 
 def _matrix_nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref, thr_ref,
                        keep_idx_ref, keep_valid_ref, *, max_keep: int):
-    x1 = x1_ref[:]  # (Bt, K)
-    y1 = y1_ref[:]
-    x2 = x2_ref[:]
-    y2 = y2_ref[:]
-    scores = scores_ref[:]
+    # refs are (Bt, 1, K): the unit middle dim makes the block's last two
+    # dims equal to the array's, satisfying Pallas TPU's (8, 128)
+    # block-divisibility rule for any Bt
+    x1 = x1_ref[:, 0, :]  # (Bt, K)
+    y1 = y1_ref[:, 0, :]
+    x2 = x2_ref[:, 0, :]
+    y2 = y2_ref[:, 0, :]
+    scores = scores_ref[:, 0, :]
     bt, k = scores.shape
     thr = thr_ref[0]
 
@@ -73,45 +76,49 @@ def _matrix_nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref, thr_ref,
     supf = sup.astype(jnp.float32)
     prif = pri.astype(jnp.float32)
 
-    live = scores > 0.0  # (Bt, K)
+    # the while_loop carries f32 {0,1} masks, not bools: Mosaic cannot
+    # legalize scf.yield of padded i1 vectors on TPU
+    live = (scores > 0.0).astype(jnp.float32)  # (Bt, K)
 
     def body(carry):
-        undecided, kept = carry
-        uf = undecided.astype(jnp.float32)
+        undecided, kept = carry  # f32 {0,1} (Bt, K)
         # blocked_i: some undecided earlier j could still suppress i
-        blocked = jnp.sum(supf * uf[:, :, None], axis=1) > 0.0  # (Bt, K)
-        kept2 = kept | (undecided & ~blocked)
-        kf = kept2.astype(jnp.float32)
-        killed = jnp.sum(supf * kf[:, :, None], axis=1) > 0.0
-        undecided2 = undecided & blocked & ~killed
+        blocked = (
+            jnp.sum(supf * undecided[:, :, None], axis=1) > 0.0
+        ).astype(jnp.float32)  # (Bt, K)
+        kept2 = jnp.maximum(kept, undecided * (1.0 - blocked))
+        killed = (
+            jnp.sum(supf * kept2[:, :, None], axis=1) > 0.0
+        ).astype(jnp.float32)
+        undecided2 = undecided * blocked * (1.0 - killed)
         return undecided2, kept2
 
     def cond(carry):
         undecided, _ = carry
-        return jnp.any(undecided)
+        return jnp.sum(undecided) > 0.0
 
-    _, kept = jax.lax.while_loop(cond, body, (live, jnp.zeros_like(live)))
+    _, keptf = jax.lax.while_loop(cond, body, (live, jnp.zeros_like(live)))
 
     # emit the first max_keep kept indices in PRIORITY (greedy-selection)
     # order: a keeper's rank is the number of kept boxes before it
-    keptf = kept.astype(jnp.float32)
     rank = jnp.sum(prif * keptf[:, :, None], axis=1)  # (Bt, K)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (bt, k), 1)
-    out_cols = jax.lax.broadcasted_iota(jnp.int32, keep_idx_ref.shape, 1)
+    out_cols = jax.lax.broadcasted_iota(jnp.int32, (bt, max_keep), 1)
 
     # slot s <- index of the kept candidate with rank s (one-hot reduction;
-    # K x max_keep fits comfortably)
+    # K x max_keep fits comfortably). All-f32 arithmetic: Mosaic only
+    # supports minor-dim insertion (x[:, :, None]) on 32-bit types, so the
+    # kept mask enters as keptf, never as an i1 broadcast.
     slot_hot = (
-        (rank[:, :, None] == out_cols[:, None, :].astype(jnp.float32))
-        & kept[:, :, None]
-    ).astype(jnp.float32)  # (Bt, K, max_keep)
+        rank[:, :, None] == out_cols[:, None, :].astype(jnp.float32)
+    ).astype(jnp.float32) * keptf[:, :, None]  # (Bt, K, max_keep)
     idx_out = jnp.sum(slot_hot * col_ids[:, :, None].astype(jnp.float32), axis=1)
     valid_out = jnp.sum(slot_hot, axis=1) > 0.0  # (Bt, max_keep)
 
-    keep_idx_ref[:] = jnp.where(
+    keep_idx_ref[:, 0, :] = jnp.where(
         valid_out, idx_out.astype(jnp.int32), -1
     )
-    keep_valid_ref[:] = valid_out.astype(jnp.int32)
+    keep_valid_ref[:, 0, :] = valid_out.astype(jnp.int32)
 
 
 @functools.partial(
@@ -134,26 +141,35 @@ def pallas_matrix_nms(boxes, scores, iou_threshold, max_keep: int = 300,
     bp = b + pad_b
     thr = jnp.full((1,), iou_threshold, jnp.float32)
 
+    # (B, 1, K) planes: the unit middle dim makes each block's last two
+    # dims equal the array's, which Pallas TPU accepts for any tile_b
     boxes = boxes.astype(jnp.float32)
-    planes = [boxes[:, :, i] for i in range(4)]
+    planes = [boxes[:, None, :, i] for i in range(4)]
 
-    plane_spec = pl.BlockSpec((tile_b, k), lambda i: (i, 0),
+    plane_spec = pl.BlockSpec((tile_b, 1, k), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
     keep_idx, keep_valid = pl.pallas_call(
         functools.partial(_matrix_nms_kernel, max_keep=max_keep),
         grid=(bp // tile_b,),
         in_specs=[plane_spec] * 5 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[
-            pl.BlockSpec((tile_b, max_keep), lambda i: (i, 0),
+            pl.BlockSpec((tile_b, 1, max_keep), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, max_keep), lambda i: (i, 0),
+            pl.BlockSpec((tile_b, 1, max_keep), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bp, max_keep), jnp.int32),
-            jax.ShapeDtypeStruct((bp, max_keep), jnp.int32),
+            jax.ShapeDtypeStruct((bp, 1, max_keep), jnp.int32),
+            jax.ShapeDtypeStruct((bp, 1, max_keep), jnp.int32),
         ],
+        # the working set is ~4 x tile_b x K^2 f32 (iou/sup/pri + one body
+        # temporary) — beyond the default 16 MiB scoped-vmem budget at
+        # K=1024, well inside v5e's 128 MiB VMEM
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(*planes, scores.astype(jnp.float32), thr)
+    )(*planes, scores[:, None, :].astype(jnp.float32), thr)
 
-    return keep_idx[:b], keep_valid[:b].astype(bool)
+    return keep_idx[:b, 0], keep_valid[:b, 0].astype(bool)
