@@ -157,10 +157,13 @@ def main():
     # reported"): per-call sync, serving config, batches 1/8/32. On the
     # tunneled chip every sync pays the ~31 ms relay round trip; the
     # on-chip estimate subtracts the measured relay floor.
-    t0 = time.perf_counter()
+    float(jnp.sum(jnp.zeros((8,))))  # warm the probe's compile first
+    probes = []
     for _ in range(8):
+        t0 = time.perf_counter()
         float(jnp.sum(jnp.zeros((8,))))  # relay floor probe
-    relay_ms = (time.perf_counter() - t0) / 8 * 1e3
+        probes.append(time.perf_counter() - t0)
+    relay_ms = sorted(probes)[len(probes) // 2] * 1e3
     lat_sweep = {}
     for lb in (1, 8, 32):
         imgs_lb = [(variables, jnp.asarray(

@@ -1,0 +1,120 @@
+"""Measure the device-side augmentation split (data/device_aug.py).
+
+Three numbers tell the story on an augmentation-bound host:
+  host_aug_img_s     full cv2 pipeline per core (the old ceiling)
+  plan_img_s         planner-only per core (the new host cost)
+  render_ms_b{B}     device render time per batch (the new device cost)
+
+Uses the rehearsal dataset (scripts/make_synthetic_dataset.py) when
+present, else generates a small one.
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_device_aug.py
+       [--root /tmp/synth2k] [--batch 64] [--size 640] [--iters 40]
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/synth2k")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--size", type=int, default=640)
+    ap.add_argument("--iters", type=int, default=40)
+    args = ap.parse_args()
+
+    if not os.path.isdir(os.path.join(args.root, "train", "images")):
+        import subprocess
+        import sys
+
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__),
+                          "make_synthetic_dataset.py"),
+             "--root", args.root, "--n-train", "256", "--n-val", "8"],
+            check=True,
+        )
+
+    from yoloseries_tpu.data import DetectionDataset
+    from yoloseries_tpu.data.dataset import load_names  # noqa: F401
+    from yoloseries_tpu.data.device_aug import plan_sample
+    from yoloseries_tpu.data.loader import collate_plan_batch
+
+    s = args.size
+    ds = DetectionDataset(
+        os.path.join(args.root, "train", "images"),
+        os.path.join(args.root, "train", "labels"),
+        os.path.join(args.root, "names.txt"),
+        input_size=(s, s),
+        cache_images=True,
+    )
+
+    # --- host full-aug rate (one core, the reference pipeline)
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        ds.get(i % len(ds), np.random.default_rng((0, i)))
+    host_rate = args.iters / (time.perf_counter() - t0)
+    print(json.dumps({"metric": "host_aug_img_s_per_core",
+                      "value": round(host_rate, 2)}))
+
+    # --- planner rate (one core, the device-aug host cost)
+    t0 = time.perf_counter()
+    plans = []
+    for i in range(args.iters):
+        plans.append(plan_sample(ds, i % len(ds), np.random.default_rng((0, i))))
+    plan_rate = args.iters / (time.perf_counter() - t0)
+    print(json.dumps({"metric": "plan_img_s_per_core",
+                      "value": round(plan_rate, 2),
+                      "speedup_vs_host_aug": round(plan_rate / host_rate, 2)}))
+
+    # --- device render time (amortized over R chained calls per sync)
+    import jax
+    import jax.numpy as jnp
+
+    from yoloseries_tpu.data.device_aug import render_batch
+
+    b = args.batch
+    batch = collate_plan_batch(
+        [plans[i % len(plans)] for i in range(b)], (s, s), max_labels=64
+    )
+    tiles = jnp.asarray(batch["tiles"])
+    plan = {k: jnp.asarray(v) for k, v in batch["plan"].items()}
+
+    def once(c):
+        out = render_batch(tiles, plan, out_hw=(s, s), tile_hw=(s, s))
+        return c + jnp.sum(out.astype(jnp.float32)[0, 0, 0])
+
+    R = 8
+
+    @jax.jit
+    def chain(c):
+        for _ in range(R):
+            c = once(c)
+        return c
+
+    float(chain(jnp.zeros(())))  # compile + warm
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(chain(jnp.zeros(())))
+        times.append(time.perf_counter() - t0)
+    tot = sorted(times)[2]
+    per_ms = tot / R * 1e3
+    print(json.dumps({
+        "metric": f"render_ms_b{b}_{s}px",
+        "value": round(per_ms, 2),
+        "render_img_s": round(b / (per_ms / 1e3), 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

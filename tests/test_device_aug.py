@@ -1,0 +1,210 @@
+"""Device-side augmentation: planner/renderer parity with the host cv2
+pipeline (data/device_aug.py).
+
+* labels are EXACT: the planner consumes the identical rng stream and runs
+  the identical numpy box math as YOLODataset.get, so boxes/labels match
+  bit for bit,
+* pixels are approximate: cv2's fixed-point bilinear (1/32 quantization,
+  replicated) and integer HSV rounding differ in the last bits; mixup
+  blends post-sample instead of pre-warp (linear => <=1 LSB). Bounds below
+  were set from measured distributions, with headroom.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from yoloseries_tpu.data import AugmentConfig, DataLoader, DetectionDataset
+from yoloseries_tpu.data.device_aug import (
+    device_aug_supported,
+    plan_sample,
+    render_batch,
+)
+from yoloseries_tpu.ops.letterbox import letterbox_image
+
+SIZE = (128, 128)
+
+
+@pytest.fixture(scope="module")
+def aug_dataset(tmp_path_factory):
+    """10 images <= input_size with 2-3 rectangles each (device_aug needs
+    tiles that fit the buffer — the cache_images path guarantees that in
+    production; here the images are simply generated small)."""
+    root = tmp_path_factory.mktemp("dev_aug_ds")
+    img_dir, lab_dir = root / "img", root / "lab"
+    img_dir.mkdir()
+    lab_dir.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(10):
+        h = int(rng.integers(80, SIZE[0] + 1))
+        w = int(rng.integers(80, SIZE[1] + 1))
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        lines = []
+        for _ in range(int(rng.integers(2, 4))):
+            x1 = int(rng.integers(0, w - 40))
+            y1 = int(rng.integers(0, h - 40))
+            x2 = x1 + int(rng.integers(20, 40))
+            y2 = y1 + int(rng.integers(20, 40))
+            cls = int(rng.integers(0, 3))
+            img[y1:y2, x1:x2] = [220, 40 + 60 * cls, 30]
+            lines.append(f"{cls} {x1} {y1} {x2} {y2}")
+        Image.fromarray(img).save(img_dir / f"{i:06d}.jpg")
+        (lab_dir / f"{i:06d}.txt").write_text("\n".join(lines) + "\n")
+    names = root / "names.txt"
+    names.write_text("0 a\n1 b\n2 c\n")
+    return img_dir, lab_dir, names
+
+
+def _make_ds(aug_dataset, **aug_overrides):
+    img_dir, lab_dir, names = aug_dataset
+    aug = AugmentConfig(input_size=SIZE, **aug_overrides)
+    return DetectionDataset(img_dir, lab_dir, names, input_size=SIZE, aug=aug)
+
+
+FULL_AUG = dict(mosaic_p=1.0, mixup_p=0.5, perspective_p=1.0, hsv_p=1.0,
+                fliplr_p=0.5, flipud_p=0.5, cutout_p=0.5)
+
+
+@pytest.mark.parametrize("overrides", [
+    FULL_AUG,
+    dict(mosaic_p=0.0, perspective_p=1.0, hsv_p=1.0, cutout_p=1.0),
+    dict(mosaic_p=1.0, mixup_p=0.0, perspective_p=0.0, hsv_p=0.0,
+         fliplr_p=1.0, cutout_p=0.0),
+], ids=["full", "no_mosaic", "mosaic_only_flip"])
+def test_plan_labels_match_host(aug_dataset, overrides):
+    """plan_sample consumes the same rng draws and box math as get()."""
+    ds = _make_ds(aug_dataset, **overrides)
+    assert device_aug_supported(ds.aug)
+    for idx in range(len(ds)):
+        for seed in (0, 1, 2):
+            img, hb, hl = ds.get(idx, np.random.default_rng((seed, idx)))
+            plan, pb, pl, plane_hw = plan_sample(
+                ds, idx, np.random.default_rng((seed, idx)))
+            assert plane_hw == img.shape[:2], (idx, seed)
+            np.testing.assert_array_equal(hb, pb, err_msg=f"{idx}/{seed}")
+            np.testing.assert_array_equal(hl, pl)
+
+
+@pytest.mark.parametrize("overrides,max_bad_frac", [
+    (dict(mosaic_p=1.0, mixup_p=0.0, perspective_p=0.0, hsv_p=0.0,
+          fliplr_p=0.5, flipud_p=0.5, cutout_p=0.5), 0.0),
+    # measured on this fixture: mean |diff| 0.61, frac>2 = 2.8%, max 17
+    # (hue-wrap pixels: integer HSV rounding compounds with the warp's
+    # last-bit bilinear differences); bound set with headroom
+    (FULL_AUG, 0.05),
+], ids=["exact_path", "full_chain"])
+def test_render_matches_host_pixels(aug_dataset, overrides, max_bad_frac):
+    """Rendered pixels vs the cv2 pipeline + letterbox. Pure copy/flip/
+    cutout plans are exact; warp/HSV/mixup paths differ only in last-bit
+    rounding: >=98% of pixels within +/-2 and mean |diff| < 1."""
+    ds = _make_ds(aug_dataset, **overrides)
+    plans, host_imgs = [], []
+    for idx in range(6):
+        img, hb, hl = ds.get(idx, np.random.default_rng((7, idx)))
+        plan, pb, pl, plane_hw = plan_sample(
+            ds, idx, np.random.default_rng((7, idx)))
+        host, info = letterbox_image(img, SIZE, stride=32, fill_value=114,
+                                     training=True)
+        plan["lbox"] = np.asarray(
+            [info.scale, info.pad_left, info.pad_top], np.float32)
+        plans.append(plan)
+        host_imgs.append(host)
+
+    batch_plan = {k: np.stack([p[k] for p in plans]) for k in plans[0]}
+    tiles = batch_plan.pop("tiles")
+    out = np.asarray(render_batch(tiles, batch_plan, out_hw=SIZE,
+                                  tile_hw=SIZE))
+    host = np.stack(host_imgs)
+    diff = np.abs(out.astype(np.int32) - host.astype(np.int32))
+    bad_frac = float((diff > 2).mean())
+    assert bad_frac <= max_bad_frac, (bad_frac, float(diff.mean()))
+    assert float(diff.mean()) < 1.0
+
+
+def test_loader_device_aug_end_to_end(aug_dataset):
+    """DataLoader(device_aug=True) emits plan batches; render produces the
+    final images; annotations match the host-pipeline loader exactly."""
+    ds = _make_ds(aug_dataset, **FULL_AUG)
+    common = dict(batch_size=4, max_labels=20, seed=11, workers=2,
+                  shuffle=False, infinite=True, use_processes=False)
+    host_loader = DataLoader(ds, **common)
+    plan_loader = DataLoader(ds, device_aug=True, **common)
+    try:
+        hb = next(iter(host_loader))
+        pb = next(iter(plan_loader))
+        np.testing.assert_array_equal(hb["ann"], pb["ann"])
+        np.testing.assert_array_equal(hb["info"], pb["info"])
+        out = np.asarray(render_batch(pb["tiles"], pb["plan"], out_hw=SIZE,
+                                      tile_hw=SIZE))
+        assert out.shape == hb["img"].shape and out.dtype == np.uint8
+        diff = np.abs(out.astype(np.int32) - hb["img"].astype(np.int32))
+        assert float((diff > 2).mean()) <= 0.05
+        # no-aug tail falls back to pixel batches
+        plan_loader.close_data_aug()
+        nb = None
+        for _ in range(12):  # drain plan batches buffered before the switch
+            nb = next(iter(plan_loader))
+            if "img" in nb:
+                break
+        assert nb is not None and "img" in nb
+    finally:
+        host_loader.stop()
+        plan_loader.stop()
+
+
+def test_device_aug_rejects_unsupported(aug_dataset):
+    ds = _make_ds(aug_dataset, blur_p=0.5)
+    with pytest.raises(ValueError, match="device_aug"):
+        DataLoader(ds, batch_size=2, workers=1, use_processes=False,
+                   device_aug=True)
+
+
+def test_loader_surfaces_worker_errors(aug_dataset):
+    """A worker exception reaches the consumer as a raise, not a silent
+    producer exit (which used to hang __next__ forever): plan_sample
+    rejects images larger than the tile buffer (input 64 < raw 80-128)."""
+    img_dir, lab_dir, names = aug_dataset
+    aug = AugmentConfig(input_size=(64, 64), **FULL_AUG)
+    ds = DetectionDataset(img_dir, lab_dir, names, input_size=(64, 64),
+                          aug=aug)
+    loader = DataLoader(ds, batch_size=2, max_labels=20, workers=1,
+                        use_processes=False, device_aug=True, infinite=True)
+    try:
+        with pytest.raises(ValueError, match="tile buffer"):
+            next(iter(loader))
+    finally:
+        loader.stop()
+
+
+@pytest.mark.slow
+def test_trainer_device_aug_end_to_end(aug_dataset, tmp_path):
+    """`device_aug: true` threads from hyp through Trainer: plan batches
+    render on device inside _device_batch and the train step runs."""
+    from yoloseries_tpu.configs import TrainConfig
+    from yoloseries_tpu.train import Trainer
+
+    img_dir, lab_dir = aug_dataset[0], aug_dataset[1]
+    hyp = {
+        "device_aug": True,
+        # input size must cover the fixture's raw images (<=128): device_aug
+        # tiles are input-sized and plan_sample errors on larger images
+        "input_img_size": [128, 128], "batch_size": 4, "total_epoch": 1,
+        "do_warmup": False, "use_focal_loss": False,
+        "data_aug_mosaic_p": 1.0, "data_aug_mixup_p": 0.5,
+        "data_aug_prespective_p": 1.0, "data_aug_hsv_p": 1.0,
+        "data_aug_cutout_p": 0.0, "data_aug_fliplr_p": 0.5,
+        "save_log_txt": False, "num_workers": 2,
+    }
+    cfg = TrainConfig.from_hyp(
+        hyp, num_class=3, model="yolov5s", max_labels=20,
+        output_dir=str(tmp_path / "run"), no_aug_epochs=0,
+    )
+    assert cfg.device_aug
+    tr = Trainer(cfg, (img_dir, lab_dir), names_path=aug_dataset[2],
+                 log_fn=lambda *a: None)
+    try:
+        assert tr.train_loader.device_aug
+        tr.train(epochs=1)
+        assert np.isfinite(tr.meters["tot_loss"].avg)
+    finally:
+        tr.close()

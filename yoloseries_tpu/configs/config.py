@@ -62,6 +62,10 @@ class TrainConfig:
     # per-CSP-stage activation remat (models that support it); lifts the
     # activation-memory ceiling at ~1 extra forward of block FLOPs
     remat: bool = False
+    # render mosaic/mixup/warp/HSV on the TPU (data/device_aug.py): host
+    # workers only plan geometry + box math — the fix for augmentation-bound
+    # training on low-core hosts (measured 40x input stall at 1 core)
+    device_aug: bool = False
     no_aug_epochs: int = 10
     val_every: int = 1
     save_every: int = 1
@@ -157,6 +161,7 @@ class TrainConfig:
             num_workers=hyp.get("num_workers", 8) or 8,
             do_ema=hyp.get("do_ema", True),
             remat=hyp.get("remat", False),
+            device_aug=hyp.get("device_aug", False),
             no_aug_epochs=hyp.get("no_data_aug_epoch", 10),
             val_every=hyp.get("validation_every", 1),
             save_every=hyp.get("save_ckpt_every", 1),

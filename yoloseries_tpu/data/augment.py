@@ -25,6 +25,8 @@ __all__ = [
     "mosaic4",
     "mixup",
     "random_perspective",
+    "sample_perspective_params",
+    "perspective_boxes",
     "random_hsv",
     "random_flip_lr",
     "random_flip_ud",
@@ -135,20 +137,15 @@ def mixup(img1, boxes1, labels1, img2, boxes2, labels2, rng):
     return img, boxes, labels
 
 
-def random_perspective(img, boxes, labels, cfg: AugmentConfig, rng,
-                       dst_size=None):
-    """Composed center/perspective/rotation/shear/translation warp
-    (utils/data_aug.py:482-576) with box_candidates filtering."""
-    if rng.random() >= cfg.perspective_p:
-        return img, boxes, labels
-
-    if dst_size is None:
-        dst_size = cfg.input_size
+def sample_perspective_params(src_shape, cfg: AugmentConfig, rng, dst_size):
+    """Draw the composed warp matrix + scale — shared by the host pipeline
+    (random_perspective) and the device-aug planner so both consume the rng
+    identically and agree on geometry."""
     height, width = dst_size
 
     C = np.eye(3)
-    C[0, 2] = -img.shape[1] / 2
-    C[1, 2] = -img.shape[0] / 2
+    C[0, 2] = -src_shape[1] / 2
+    C[1, 2] = -src_shape[0] / 2
 
     P = np.eye(3)
     P[2, 0] = rng.uniform(-cfg.perspective, cfg.perspective)
@@ -167,39 +164,61 @@ def random_perspective(img, boxes, labels, cfg: AugmentConfig, rng,
     T[0, 2] = rng.uniform(0.5 - cfg.translate, 0.5 + cfg.translate) * width
     T[1, 2] = rng.uniform(0.5 - cfg.translate, 0.5 + cfg.translate) * height
 
-    M = T @ S @ R @ P @ C
+    return T @ S @ R @ P @ C, s
+
+
+def perspective_boxes(M, s, boxes, labels, width, height, use_perspective):
+    """Warp boxes through M and apply the reference box_candidates filter
+    (utils/data_aug.py:548-576). Returns (boxes f32, labels)."""
+    n = len(boxes)
+    if not n:
+        return boxes, labels
+    xy = np.ones((n * 4, 3))
+    xy[:, :2] = boxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)
+    xy = xy @ M.T
+    if use_perspective:
+        xy = (xy[:, :2] / xy[:, 2:3]).reshape(n, 8)
+    else:
+        xy = xy[:, :2].reshape(n, 8)
+    x = xy[:, [0, 2, 4, 6]]
+    y = xy[:, [1, 3, 5, 7]]
+    new = np.concatenate((x.min(1), y.min(1), x.max(1), y.max(1))).reshape(4, n).T
+    new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
+    new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
+    w1 = boxes[:, 2] - boxes[:, 0]
+    h1 = boxes[:, 3] - boxes[:, 1]
+    w2 = new[:, 2] - new[:, 0]
+    h2 = new[:, 3] - new[:, 1]
+    ar = np.maximum(w2 / (h2 + 1e-16), h2 / (w2 + 1e-16))
+    keep = (
+        (w2 > 2) & (h2 > 2)
+        & (w2 * h2 / (w1 * s * h1 * s + 1e-16) > 0.1)
+        & (ar < 20)
+    )
+    return new[keep].astype(np.float32), labels[keep]
+
+
+def random_perspective(img, boxes, labels, cfg: AugmentConfig, rng,
+                       dst_size=None):
+    """Composed center/perspective/rotation/shear/translation warp
+    (utils/data_aug.py:482-576) with box_candidates filtering."""
+    if rng.random() >= cfg.perspective_p:
+        return img, boxes, labels
+
+    if dst_size is None:
+        dst_size = cfg.input_size
+    height, width = dst_size
+
+    M, s = sample_perspective_params(img.shape, cfg, rng, (height, width))
     fv = (cfg.fill_value,) * 3
     if cfg.perspective:
         img = cv2.warpPerspective(img, M, dsize=(width, height), borderValue=fv)
     else:
         img = cv2.warpAffine(img, M[:2], dsize=(width, height), borderValue=fv)
 
-    n = len(boxes)
-    if n:
-        xy = np.ones((n * 4, 3))
-        xy[:, :2] = boxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)
-        xy = xy @ M.T
-        if cfg.perspective:
-            xy = (xy[:, :2] / xy[:, 2:3]).reshape(n, 8)
-        else:
-            xy = xy[:, :2].reshape(n, 8)
-        x = xy[:, [0, 2, 4, 6]]
-        y = xy[:, [1, 3, 5, 7]]
-        new = np.concatenate((x.min(1), y.min(1), x.max(1), y.max(1))).reshape(4, n).T
-        new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
-        new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
-        w1 = boxes[:, 2] - boxes[:, 0]
-        h1 = boxes[:, 3] - boxes[:, 1]
-        w2 = new[:, 2] - new[:, 0]
-        h2 = new[:, 3] - new[:, 1]
-        ar = np.maximum(w2 / (h2 + 1e-16), h2 / (w2 + 1e-16))
-        keep = (
-            (w2 > 2) & (h2 > 2)
-            & (w2 * h2 / (w1 * s * h1 * s + 1e-16) > 0.1)
-            & (ar < 20)
-        )
-        boxes = new[keep].astype(np.float32)
-        labels = labels[keep]
+    boxes, labels = perspective_boxes(
+        M, s, boxes, labels, width, height, bool(cfg.perspective)
+    )
     return img, boxes, labels
 
 

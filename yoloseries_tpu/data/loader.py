@@ -26,7 +26,8 @@ import numpy as np
 
 from ..ops.letterbox import letterbox_boxes, letterbox_image
 
-__all__ = ["infinite_indices", "collate_batch", "DataLoader"]
+__all__ = ["infinite_indices", "collate_batch", "collate_plan_batch",
+           "DataLoader"]
 
 
 # ---- process-worker plumbing (fork): the dataset is inherited by the child
@@ -43,8 +44,12 @@ def _worker_init(dataset, enable_aug):
 
 
 def _worker_load(args):
-    idx, sample_id, seed, enable_aug = args
+    idx, sample_id, seed, enable_aug, plan_mode = args
     rng = np.random.default_rng((seed, sample_id))
+    if plan_mode:
+        from .device_aug import plan_sample
+
+        return plan_sample(_WORKER_DATASET, idx, rng)
     return _WORKER_DATASET.get(idx, rng, enable_aug=enable_aug)
 
 
@@ -101,6 +106,44 @@ def collate_batch(samples, dst_size, max_labels: int, stride: int = 32,
     return {"img": imgs, "ann": anns, "info": infos, "n_dropped": n_dropped}
 
 
+def collate_plan_batch(samples, dst_size, max_labels: int, stride: int = 32):
+    """Stack device-aug plans (data/device_aug.py) into one fixed-shape
+    batch. Boxes are letterboxed on host with the SAME arithmetic as
+    collate_batch (per-sample plane size -> dst); pixels stay as uint8
+    tiles + a parameter record until `render_batch` runs on device.
+
+    samples: list of (plan dict, boxes (N,4), classes (N,), plane_hw).
+    Returns dict with tiles (B,8,th,tw,3) u8, plan {...}, ann (B,M,6) f32,
+    info (B,5) f32.
+    """
+    from ..ops.preprocess import letterbox_plan
+
+    batch = len(samples)
+    h, w = dst_size if not isinstance(dst_size, int) else (dst_size, dst_size)
+    anns = np.full((batch, max_labels, 6), -1.0, dtype=np.float32)
+    infos = np.empty((batch, 5), dtype=np.float32)
+    lbox = np.empty((batch, 3), dtype=np.float32)
+    n_dropped = 0
+
+    for i, (plan, boxes, classes, plane_hw) in enumerate(samples):
+        info = letterbox_plan(plane_hw, (h, w), stride=stride)
+        infos[i] = info.as_array()
+        lbox[i] = (info.scale, info.pad_left, info.pad_top)
+        n = min(len(boxes), max_labels)
+        n_dropped += len(boxes) - n
+        if n:
+            lb = letterbox_boxes(boxes[:n], info)
+            anns[i, :n, 0:4] = lb
+            anns[i, :n, 4] = classes[:n]
+            anns[i, :n, 5] = i
+
+    plan = {k: np.stack([s[0][k] for s in samples]) for k in samples[0][0]}
+    tiles = plan.pop("tiles")
+    plan["lbox"] = lbox
+    return {"tiles": tiles, "plan": plan, "ann": anns, "info": infos,
+            "dst_hw": (h, w), "n_dropped": n_dropped}
+
+
 class DataLoader:
     """Threaded, double-buffered loader producing device-ready fixed batches.
 
@@ -123,6 +166,7 @@ class DataLoader:
         prefetch: int = 2,
         device_put=None,
         use_processes: bool | None = None,
+        device_aug: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -135,6 +179,18 @@ class DataLoader:
         self._enable_aug = (
             dataset.enable_aug if enable_aug is None else enable_aug
         )
+        # device_aug: workers emit augmentation PLANS (host does only the
+        # O(#boxes) work); the consumer renders pixels on the TPU with
+        # data.device_aug.render_batch. See device_aug.py for the why.
+        self.device_aug = bool(device_aug)
+        if self.device_aug:
+            from .device_aug import device_aug_supported
+
+            if not device_aug_supported(dataset.aug):
+                raise ValueError(
+                    "device_aug has no renderer path for blur_p/"
+                    "scale_jitting_p > 0 — use the host pipeline for those"
+                )
         # augmentation is CPU-bound numpy/cv2: Python threads serialize on
         # the GIL, so real throughput needs PROCESS workers (the reference's
         # torch DataLoader num_workers are processes too). Default: processes
@@ -189,8 +245,12 @@ class DataLoader:
         (train_yolov5.py:286-292)."""
         self._enable_aug = False
 
-    def _load_one(self, idx: int, sample_id: int):
+    def _load_one(self, idx: int, sample_id: int, plan_mode: bool = False):
         rng = np.random.default_rng((self.seed, sample_id))
+        if plan_mode:
+            from .device_aug import plan_sample
+
+            return plan_sample(self.dataset, idx, rng)
         return self.dataset.get(idx, rng, enable_aug=self._enable_aug)
 
     def _produce(self):
@@ -207,24 +267,38 @@ class DataLoader:
                 return
             ids = range(self._sample_counter, self._sample_counter + len(chunk))
             self._sample_counter += len(chunk)
+            plan_mode = self.device_aug and self._enable_aug
             try:
                 if self._proc_pool is not None:
                     samples = self._proc_pool.map(
                         _worker_load,
-                        [(i, sid, self.seed, self._enable_aug)
+                        [(i, sid, self.seed, self._enable_aug, plan_mode)
                          for i, sid in zip(chunk, ids)],
                     )
                 else:
-                    samples = list(self._pool.map(self._load_one, chunk, ids))
-            except (RuntimeError, ValueError):
-                # pool shut down mid-map by stop(): benign exit
+                    samples = list(self._pool.map(
+                        self._load_one, chunk, ids,
+                        itertools.repeat(plan_mode, len(chunk)),
+                    ))
+            except Exception as e:  # noqa: BLE001
+                if self._stop.is_set():
+                    # pool shut down mid-map by stop(): benign exit
+                    return
+                # a real worker failure: surface it to the consumer instead
+                # of exiting silently (which would hang __next__ forever)
+                self._queue.put(e)
                 return
-            batch = collate_batch(
-                samples,
-                self._input_size,
-                self.max_labels,
-                fill_value=self.dataset.aug.fill_value,
-            )
+            if plan_mode:
+                batch = collate_plan_batch(
+                    samples, self._input_size, self.max_labels
+                )
+            else:
+                batch = collate_batch(
+                    samples,
+                    self._input_size,
+                    self.max_labels,
+                    fill_value=self.dataset.aug.fill_value,
+                )
             # surface max_labels overflow instead of silently truncating
             # (reference pads to per-batch max; we keep static M for jit)
             dropped = batch.pop("n_dropped")
@@ -252,6 +326,8 @@ class DataLoader:
         batch = self._queue.get()
         if batch is None:
             raise StopIteration
+        if isinstance(batch, Exception):
+            raise batch
         return batch
 
     def restart(self):

@@ -64,7 +64,9 @@ def lr_schedule_factor(cfg: OptimizerConfig, epoch):
             cfg.lr_max_ds_scale - 1.0
         ) + 1.0
     if t == "linear":
-        return (1.0 - epoch / (cfg.total_epochs - 1)) * (
+        # max(total-1, 1): the reference formula div-by-zeroes (NaN lr) on
+        # single-epoch runs; a 1-epoch run trains at factor ~1 instead
+        return (1.0 - epoch / max(cfg.total_epochs - 1, 1)) * (
             1.0 - cfg.lr_max_ds_scale
         ) + cfg.lr_max_ds_scale
     # cosine

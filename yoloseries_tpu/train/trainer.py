@@ -101,6 +101,7 @@ class Trainer:
             rank=jax.process_index(),
             world_size=jax.process_count(),
             workers=cfg.num_workers,
+            device_aug=cfg.device_aug,
         )
         # the loader shards indices by world_size, so an epoch on this host
         # only sees len(dataset)/world_size samples (DataLoader.__len__)
@@ -273,6 +274,24 @@ class Trainer:
 
     # --------------------------------------------------------------- train
     def _device_batch(self, batch):
+        if "tiles" in batch:  # device_aug plan batch: render pixels on-TPU
+            from ..data.device_aug import render_batch
+
+            fill = self.train_dataset.aug.fill_value
+            plan = {
+                k: jax.device_put(v, self.batch_shard)
+                for k, v in batch["plan"].items()
+            }
+            img = render_batch(
+                jax.device_put(batch["tiles"], self.batch_shard),
+                plan,
+                out_hw=tuple(batch["dst_hw"]),
+                tile_hw=tuple(self.train_dataset.input_size),
+                fill=fill,
+                lb_fill=fill,
+            )
+            return {"img": img,
+                    "ann": jax.device_put(batch["ann"], self.batch_shard)}
         return {
             "img": jax.device_put(batch["img"], self.batch_shard),
             "ann": jax.device_put(batch["ann"], self.batch_shard),
