@@ -16,6 +16,7 @@ import argparse
 import json
 import os
 import time
+from functools import partial
 
 import numpy as np
 
@@ -86,34 +87,36 @@ def main():
     batch = collate_plan_batch(
         [plans[i % len(plans)] for i in range(b)], (s, s), max_labels=64
     )
-    tiles = jnp.asarray(batch["tiles"])
-    plan = {k: jnp.asarray(v) for k, v in batch["plan"].items()}
-
-    def once(c):
-        out = render_batch(tiles, plan, out_hw=(s, s), tile_hw=(s, s))
-        return c + jnp.sum(out.astype(jnp.float32)[0, 0, 0])
+    tiles = jax.device_put(batch["tiles"])
+    plan = {k: jax.device_put(v) for k, v in batch["plan"].items()}
 
     R = 8
 
-    @jax.jit
-    def chain(c):
-        for _ in range(R):
-            c = once(c)
-        return c
+    for method in ("separable", "gather"):
+        # tiles/plan MUST be jit arguments: closure capture would bake the
+        # (B,8,s,s,3) tile buffer into the program as a constant (hundreds
+        # of MB through the relay's compile endpoint)
+        @partial(jax.jit, static_argnames=("m",))
+        def chain(c, tiles, plan, m):
+            for _ in range(R):
+                out = render_batch(tiles, plan, out_hw=(s, s),
+                                   tile_hw=(s, s), method=m)
+                c = c + jnp.sum(out.astype(jnp.float32)[0, 0, 0]) + 1.0
+            return c
 
-    float(chain(jnp.zeros(())))  # compile + warm
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(chain(jnp.zeros(())))
-        times.append(time.perf_counter() - t0)
-    tot = sorted(times)[2]
-    per_ms = tot / R * 1e3
-    print(json.dumps({
-        "metric": f"render_ms_b{b}_{s}px",
-        "value": round(per_ms, 2),
-        "render_img_s": round(b / (per_ms / 1e3), 1),
-    }))
+        float(chain(jnp.zeros(()), tiles, plan, method))  # compile + warm
+        times = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            float(chain(jnp.float32(i), tiles, plan, method))
+            times.append(time.perf_counter() - t0)
+        tot = sorted(times)[2]
+        per_ms = tot / R * 1e3
+        print(json.dumps({
+            "metric": f"render_ms_b{b}_{s}px_{method}",
+            "value": round(per_ms, 2),
+            "render_img_s": round(b / (per_ms / 1e3), 1),
+        }))
 
 
 if __name__ == "__main__":

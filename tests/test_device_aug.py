@@ -85,24 +85,19 @@ def test_plan_labels_match_host(aug_dataset, overrides):
             np.testing.assert_array_equal(hl, pl)
 
 
-@pytest.mark.parametrize("overrides,max_bad_frac", [
-    (dict(mosaic_p=1.0, mixup_p=0.0, perspective_p=0.0, hsv_p=0.0,
-          fliplr_p=0.5, flipud_p=0.5, cutout_p=0.5), 0.0),
-    # measured on this fixture: mean |diff| 0.61, frac>2 = 2.8%, max 17
-    # (hue-wrap pixels: integer HSV rounding compounds with the warp's
-    # last-bit bilinear differences); bound set with headroom
-    (FULL_AUG, 0.05),
-], ids=["exact_path", "full_chain"])
-def test_render_matches_host_pixels(aug_dataset, overrides, max_bad_frac):
-    """Rendered pixels vs the cv2 pipeline + letterbox. Pure copy/flip/
-    cutout plans are exact; warp/HSV/mixup paths differ only in last-bit
-    rounding: >=98% of pixels within +/-2 and mean |diff| < 1."""
-    ds = _make_ds(aug_dataset, **overrides)
+# diagonal-affine warp (degrees=shear=perspective=0, the reference
+# train-preset defaults apart from the 5e-4 perspective jitter): unlocks
+# the separable axis-gather renderer
+SEP_AUG = dict(mosaic_p=1.0, mixup_p=0.5, perspective_p=1.0, perspective=0.0,
+               hsv_p=1.0, fliplr_p=0.5, flipud_p=0.5, cutout_p=0.5)
+
+
+def _render_plans(ds, n, seed, method, extra_host=None):
     plans, host_imgs = [], []
-    for idx in range(6):
-        img, hb, hl = ds.get(idx, np.random.default_rng((7, idx)))
+    for idx in range(n):
+        img, hb, hl = ds.get(idx, np.random.default_rng((seed, idx)))
         plan, pb, pl, plane_hw = plan_sample(
-            ds, idx, np.random.default_rng((7, idx)))
+            ds, idx, np.random.default_rng((seed, idx)))
         host, info = letterbox_image(img, SIZE, stride=32, fill_value=114,
                                      training=True)
         plan["lbox"] = np.asarray(
@@ -113,12 +108,43 @@ def test_render_matches_host_pixels(aug_dataset, overrides, max_bad_frac):
     batch_plan = {k: np.stack([p[k] for p in plans]) for k in plans[0]}
     tiles = batch_plan.pop("tiles")
     out = np.asarray(render_batch(tiles, batch_plan, out_hw=SIZE,
-                                  tile_hw=SIZE))
-    host = np.stack(host_imgs)
+                                  tile_hw=SIZE, method=method))
+    return out, np.stack(host_imgs)
+
+
+@pytest.mark.parametrize("overrides,max_bad_frac,method", [
+    (dict(mosaic_p=1.0, mixup_p=0.0, perspective_p=0.0, hsv_p=0.0,
+          fliplr_p=0.5, flipud_p=0.5, cutout_p=0.5), 0.0, "gather"),
+    (dict(mosaic_p=1.0, mixup_p=0.0, perspective_p=0.0, hsv_p=0.0,
+          fliplr_p=0.5, flipud_p=0.5, cutout_p=0.5), 0.0, "separable"),
+    # measured on this fixture: mean |diff| 0.61, frac>2 = 2.8%, max 17
+    # (hue-wrap pixels: integer HSV rounding compounds with the warp's
+    # last-bit bilinear differences); bound set with headroom
+    (FULL_AUG, 0.05, "gather"),
+    (SEP_AUG, 0.05, "separable"),
+], ids=["exact_path", "exact_path_sep", "full_chain", "full_chain_sep"])
+def test_render_matches_host_pixels(aug_dataset, overrides, max_bad_frac,
+                                    method):
+    """Rendered pixels vs the cv2 pipeline + letterbox. Pure copy/flip/
+    cutout plans are exact; warp/HSV/mixup paths differ only in last-bit
+    rounding: >=95% of pixels within +/-2 and mean |diff| < 1."""
+    ds = _make_ds(aug_dataset, **overrides)
+    out, host = _render_plans(ds, 6, 7, method)
     diff = np.abs(out.astype(np.int32) - host.astype(np.int32))
     bad_frac = float((diff > 2).mean())
     assert bad_frac <= max_bad_frac, (bad_frac, float(diff.mean()))
     assert float(diff.mean()) < 1.0
+
+
+def test_separable_equals_gather(aug_dataset):
+    """On diagonal-affine plans the two renderers share tap/weight math
+    and must agree to f32 rounding (<=1 uint8 LSB after the round)."""
+    ds = _make_ds(aug_dataset, **SEP_AUG)
+    out_g, _ = _render_plans(ds, 6, 13, "gather")
+    out_s, _ = _render_plans(ds, 6, 13, "separable")
+    diff = np.abs(out_g.astype(np.int32) - out_s.astype(np.int32))
+    assert float(diff.max()) <= 1, (float(diff.max()), float((diff > 0).mean()))
+    assert float((diff > 0).mean()) < 0.01
 
 
 def test_loader_device_aug_end_to_end(aug_dataset):

@@ -49,8 +49,8 @@ from .augment import (
     valid_boxes_mask,
 )
 
-__all__ = ["plan_sample", "render_batch", "device_aug_supported", "N_TILES",
-           "N_CUTOUT"]
+__all__ = ["plan_sample", "render_batch", "render_method",
+           "device_aug_supported", "N_TILES", "N_CUTOUT"]
 
 N_TILES = 8  # 4 mosaic-A + 4 mosaic-B (mixup); single-image plans use tile 0
 N_CUTOUT = 31  # cutout mask budget: len([.5] + [.25]*2 + [.125]*4 + ...)
@@ -63,11 +63,29 @@ def device_aug_supported(cfg: AugmentConfig) -> bool:
     return cfg.blur_p == 0.0 and cfg.scale_jitting_p == 0.0
 
 
+def render_method(cfg: AugmentConfig) -> str:
+    """Renderer strategy for this config.
+
+    'separable' — the warp matrix is diagonal-affine (no rotation, shear
+    or perspective), so canvas x depends only on output column and canvas
+    y only on output row: every pixel access becomes a per-axis gather
+    (rows, then columns) that the TPU executes as large contiguous DMAs.
+    This is the fast path; measured ~2 orders of magnitude over 'gather'.
+
+    'gather' — general projective warps mix x and y per pixel and need a
+    flat per-pixel gather. Correct everywhere, but TPUs have no per-lane
+    gather so XLA serializes it: use `data_aug_prespective: 0.0` (and
+    degrees/shear 0 — already the reference defaults,
+    config/train_yolov5.yaml) to unlock the separable path.
+    """
+    diag = cfg.degrees == 0.0 and cfg.shear == 0.0 and cfg.perspective == 0.0
+    return "separable" if diag else "gather"
+
+
 def _empty_plan(th, tw):
     return {
         "tiles": np.zeros((N_TILES, th, tw, 3), np.uint8),
         "rects": np.zeros((N_TILES, 4), np.float32),
-        "offs": np.zeros((N_TILES, 2), np.float32),
         "minv": np.eye(3, dtype=np.float32),
         "mix": np.float32(1.0),
         "hsv": np.ones((3,), np.float32),
@@ -79,11 +97,27 @@ def _empty_plan(th, tw):
     }
 
 
+def _place_tile(plan, t, img_crop, rect, xc, yc):
+    """Write a canvas crop into tile t with HALF-ALIGNED storage: left-half
+    tiles are right-aligned (local x = canvas x + tw - xc), top-half tiles
+    bottom-aligned (local y = canvas y + th - yc), right/bottom halves
+    left/top-aligned (local = canvas - xc/yc). The canvas->local offset is
+    then a per-half constant derivable from rects alone — which is what
+    lets the separable renderer fetch columns with a row-invariant index
+    (and both renderers drop the per-tile offset table)."""
+    th, tw = plan["tiles"].shape[1:3]
+    xo1, yo1, xo2, yo2 = rect
+    xs0 = xo1 + (tw - xc if xo2 <= xc else -xc)
+    ys0 = yo1 + (th - yc if yo2 <= yc else -yc)
+    plan["tiles"][t, ys0:ys0 + (yo2 - yo1), xs0:xs0 + (xo2 - xo1)] = img_crop
+    plan["rects"][t] = rect
+
+
 def _plan_mosaic(dataset, idx, rng, plan, layer):
     """Mirror of YOLODataset._mosaic + augment.mosaic4: identical rng draws
     and box arithmetic (data/augment.py mosaic4), but instead of painting a
     (2h, 2w) canvas it records, per tile, the crop placed into the plan's
-    tile buffer, its canvas rect and the canvas->tile offset."""
+    tile buffer (half-aligned, see _place_tile) and its canvas rect."""
     from ..ops.metrics import pairwise_iou_np
 
     indices = [idx] + [int(rng.integers(0, len(dataset))) for _ in range(3)]
@@ -120,12 +154,8 @@ def _plan_mosaic(dataset, idx, rng, plan, layer):
         xi1, yi1 = cx - dxi, cy - dyi
         xi2, yi2 = cx + (wi - dxi), cy + (hi - dyi)
 
-        # the whole image is the tile; the crop origin folds into the
-        # canvas->tile offset (the rect bounds what the renderer samples)
-        t = t0 + i
-        plan["tiles"][t, :h, :w] = img
-        plan["rects"][t] = (xo1, yo1, xo2, yo2)
-        plan["offs"][t] = (xi1 - xo1, yi1 - yo1)  # local = canvas + off
+        _place_tile(plan, t0 + i, img[yi1:yi2, xi1:xi2],
+                    (xo1, yo1, xo2, yo2), xc, yc)
 
         boxes = np.round(np.asarray(boxes, np.float32), 3)
         labels = np.asarray(labels)
@@ -150,14 +180,12 @@ def _plan_mosaic(dataset, idx, rng, plan, layer):
         labels = np.concatenate(labels_out, axis=0)
         return (mh, mw), boxes, labels, True
     # degenerate (mosaic4:120-121): fall back to the first pulled tile as a
-    # single-image plane
+    # single-image plane (treated as a top-left tile with xc=w, yc=h)
     img, boxes, labels = pulled[0]
     plan["tiles"][t0:t0 + 4] = 0
     plan["rects"][t0:t0 + 4] = 0.0
     h, w = img.shape[:2]
-    plan["tiles"][t0, :h, :w] = img
-    plan["rects"][t0] = (0.0, 0.0, w, h)
-    plan["offs"][t0] = (0.0, 0.0)
+    _place_tile(plan, t0, img, (0, 0, w, h), w, h)
     return (h, w), np.asarray(boxes), np.asarray(labels), False
 
 
@@ -283,8 +311,7 @@ def plan_sample(dataset, idx: int, rng: np.random.Generator):
                     f"({th}x{tw}); got {h}x{w}. Enable cache_images=True "
                     "(min-scale resize) or pre-size the dataset."
                 )
-            plan["tiles"][0, :h, :w] = img
-            plan["rects"][0] = (0.0, 0.0, w, h)
+            _place_tile(plan, 0, img, (0, 0, w, h), w, h)
 
         plan, boxes, labels, plane_hw = _plan_chain(
             plan, np.asarray(boxes, np.float32), np.asarray(labels),
@@ -302,8 +329,7 @@ def plan_sample(dataset, idx: int, rng: np.random.Generator):
     plan = _empty_plan(th, tw)
     img, boxes, labels = dataset.pull_item(idx)
     h, w = img.shape[:2]
-    plan["tiles"][0, :h, :w] = img
-    plan["rects"][0] = (0.0, 0.0, w, h)
+    _place_tile(plan, 0, img, (0, 0, w, h), w, h)
     plan["plane_wh"] = np.asarray([w, h], np.float32)
     return plan, boxes.astype(np.float32), labels.astype(np.float32), (h, w)
 
@@ -353,14 +379,37 @@ def _hsv_to_rgb_u8(h, s, v):
     return jnp.stack([r + m, g + m, b + m], axis=-1)
 
 
-def _sample_layer(tiles_flat, rects, offs, u, v, th, tw, fill):
-    """Bilinear sample of one mosaic layer at continuous canvas coords
-    (u, v): 4 taps, each resolved to its covering tile (mosaic regions are
-    disjoint canvas rects; uncovered canvas is `fill` — identical to cv2
-    sampling the fill-initialized canvas). cv2 warp quantizes source coords
-    to 1/32 (INTER_BITS=5); replicated for parity.
+def _halved(rects, field, right, bottom):
+    """Select a per-tile scalar (rects[:, t, field]) by quadrant masks.
+    right/bottom broadcast against the output lattice; returns their
+    broadcast shape. Mosaic tiles are 2x2: t = right + 2*bottom."""
+    import jax.numpy as jnp
 
-    tiles_flat: (B, 4*th*tw, 3) f32;  rects: (B, 4, 4);  offs: (B, 4, 2)
+    r = rects[..., field]  # (B, 4)
+
+    def bc(t):
+        return r[:, t].reshape(r.shape[0], *([1] * (right.ndim - 1)))
+
+    return jnp.where(
+        bottom,
+        jnp.where(right, bc(3), bc(2)),
+        jnp.where(right, bc(1), bc(0)),
+    )
+
+
+def _sample_layer(tiles_flat, rects, u, v, th, tw, fill):
+    """Bilinear sample of one mosaic layer at continuous canvas coords
+    (u, v) — the GENERAL (projective-warp) path: 4 taps, each resolved to
+    its covering tile with one flat per-pixel gather. Uncovered canvas is
+    `fill` (identical to cv2 sampling the fill-initialized canvas). cv2
+    warp quantizes source coords to 1/32 (INTER_BITS=5); replicated.
+
+    Tile resolve is arithmetic, not mask+argmax: the 2x2 mosaic split
+    (xc, yc) = rects[:, 0, 2:4] decides the quadrant, the quadrant's rect
+    bounds decide coverage, and half-aligned storage (_place_tile) makes
+    the canvas->local offset a per-half constant.
+
+    tiles_flat: (B, 4*th*tw, 3) uint8;  rects: (B, 4, 4)
     u, v: (B, H, W) f32. Returns (B, H, W, 3) f32.
     """
     import jax.numpy as jnp
@@ -372,6 +421,10 @@ def _sample_layer(tiles_flat, rects, offs, u, v, th, tw, fill):
     fu = u - u0
     fv = v - v0
 
+    b = tiles_flat.shape[0]
+    xc = rects[:, 0, 2].reshape(b, *([1] * (u.ndim - 1)))
+    yc = rects[:, 0, 3].reshape(b, *([1] * (u.ndim - 1)))
+
     out = 0.0
     for du, dv, wgt in (
         (0.0, 0.0, (1 - fu) * (1 - fv)),
@@ -381,59 +434,130 @@ def _sample_layer(tiles_flat, rects, offs, u, v, th, tw, fill):
     ):
         uu = u0 + du  # integer-valued canvas coords, f32
         vv = v0 + dv
-        # which of the 4 tiles covers this tap? rects are disjoint
+        right = uu >= xc
+        bottom = vv >= yc
         hit = (
-            (rects[:, :, None, None, 0] <= uu[:, None])
-            & (uu[:, None] < rects[:, :, None, None, 2])
-            & (rects[:, :, None, None, 1] <= vv[:, None])
-            & (vv[:, None] < rects[:, :, None, None, 3])
-        )  # (B, 4, H, W)
-        any_hit = jnp.any(hit, axis=1)
-        tile_id = jnp.argmax(hit, axis=1)  # (B, H, W)
-        offx = jnp.take_along_axis(
-            offs[:, :, 0], tile_id.reshape(tile_id.shape[0], -1), axis=1
-        ).reshape(tile_id.shape)
-        offy = jnp.take_along_axis(
-            offs[:, :, 1], tile_id.reshape(tile_id.shape[0], -1), axis=1
-        ).reshape(tile_id.shape)
-        lx = jnp.clip(uu + offx, 0, tw - 1).astype(jnp.int32)
-        ly = jnp.clip(vv + offy, 0, th - 1).astype(jnp.int32)
-        flat = (tile_id * th + ly) * tw + lx  # (B, H, W)
+            (_halved(rects, 0, right, bottom) <= uu)
+            & (uu < _halved(rects, 2, right, bottom))
+            & (_halved(rects, 1, right, bottom) <= vv)
+            & (vv < _halved(rects, 3, right, bottom))
+        )
+        lx = jnp.clip(uu + jnp.where(right, -xc, tw - xc), 0, tw - 1)
+        ly = jnp.clip(vv + jnp.where(bottom, -yc, th - yc), 0, th - 1)
+        tile_id = right.astype(jnp.int32) + 2 * bottom.astype(jnp.int32)
+        flat = ((tile_id * th + ly.astype(jnp.int32)) * tw
+                + lx.astype(jnp.int32))  # (B, H, W)
         tap = jnp.take_along_axis(
-            tiles_flat, flat.reshape(flat.shape[0], -1, 1), axis=1
-        ).reshape(*flat.shape, 3)
-        tap = jnp.where(any_hit[..., None], tap, fill)
+            tiles_flat, flat.reshape(b, -1, 1), axis=1
+        ).reshape(*flat.shape, 3).astype(jnp.float32)
+        tap = jnp.where(hit[..., None], tap, fill)
         out = out + wgt[..., None] * tap
     return out
+
+
+def _sample_layer_separable(tiles, rects, u, v, th, tw, fill):
+    """Bilinear sample of one mosaic layer when the warp is diagonal-
+    affine: canvas x depends only on the output column (u: (B, W)) and
+    canvas y only on the row (v: (B, H)). Every memory access is then an
+    AXIS gather — whole tile rows per (b, row-tap), whole columns per
+    (b, col-tap) — which XLA lowers to large contiguous DMAs instead of
+    the per-pixel gathers TPUs can't vectorize. Same tap/weight/coverage
+    arithmetic as _sample_layer (cv2 1/32 quantization included), so the
+    two paths agree to f32 rounding.
+
+    tiles: (B, 4, th, tw, 3) uint8 half-aligned (_place_tile);
+    rects: (B, 4, 4). Returns (B, H, W, 3) f32.
+    """
+    import jax.numpy as jnp
+
+    b = tiles.shape[0]
+    stacked = tiles.reshape(b, 4 * th, tw, 3)
+
+    u = jnp.round(u * 32.0) / 32.0  # (B, W)
+    v = jnp.round(v * 32.0) / 32.0  # (B, H)
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = u - u0
+    fv = v - v0
+    xc = rects[:, 0, 2:3]  # (B, 1)
+    yc = rects[:, 0, 3:4]
+
+    val = 0.0
+    cov = 0.0
+    for dv, wv in ((0.0, 1 - fv), (1.0, fv)):  # row taps, (B, H)
+        vv = v0 + dv
+        bottom = vv >= yc  # (B, H)
+        ly = jnp.clip(vv + jnp.where(bottom, -yc, th - yc), 0, th - 1)
+        bot_i = bottom.astype(jnp.int32)
+        # rows of the left-half and right-half tile for this row tap
+        half_rows = []
+        hity = []
+        for hx in (0, 1):
+            row_idx = (hx + 2 * bot_i) * th + ly.astype(jnp.int32)  # (B, H)
+            half_rows.append(jnp.take_along_axis(
+                stacked, row_idx[:, :, None, None], axis=1))  # (B,H,tw,3) u8
+            ylo = jnp.where(bottom, rects[:, 2 + hx, 1:2], rects[:, hx, 1:2])
+            yhi = jnp.where(bottom, rects[:, 2 + hx, 3:4], rects[:, hx, 3:4])
+            hity.append((ylo <= vv) & (vv < yhi))  # (B, H)
+        cat = jnp.concatenate(half_rows, axis=2)  # (B, H, 2*tw, 3)
+
+        for du, wu in ((0.0, 1 - fu), (1.0, fu)):  # column taps, (B, W)
+            uu = u0 + du
+            right = uu >= xc  # (B, W)
+            lx = jnp.clip(uu + jnp.where(right, -xc, tw - xc), 0, tw - 1)
+            col_idx = (right.astype(jnp.int32) * tw
+                       + lx.astype(jnp.int32))  # (B, W): row-invariant
+            pix = jnp.take_along_axis(
+                cat, col_idx[:, None, :, None], axis=2
+            ).astype(jnp.float32)  # (B, H, W, 3)
+            # x-bounds of the selected tile: depend on the row half too
+            rightN = right[:, None, :]  # (B, 1, W)
+            bottomN = bottom[:, :, None]  # (B, H, 1)
+            xlo = _halved(rects, 0, rightN, bottomN)
+            xhi = _halved(rects, 2, rightN, bottomN)
+            hitx = (xlo <= uu[:, None, :]) & (uu[:, None, :] < xhi)
+            hity_sel = jnp.where(rightN, hity[1][:, :, None],
+                                 hity[0][:, :, None])
+            wgt = (wv[:, :, None] * wu[:, None, :]
+                   * (hitx & hity_sel).astype(jnp.float32))  # (B, H, W)
+            val = val + wgt[..., None] * pix
+            cov = cov + wgt
+    return val + fill * (1.0 - cov)[..., None]
 
 
 _render_jit = None
 
 
-def render_batch(tiles, plan, out_hw, tile_hw, fill=114, lb_fill=114):
+def render_batch(tiles, plan, out_hw, tile_hw, fill=114, lb_fill=114,
+                 method="gather"):
     """Jitted entry (lazy: loader worker processes import this module for
-    plan_sample and must not pull jax into a forked interpreter)."""
+    plan_sample and must not pull jax into a forked interpreter).
+
+    method: 'gather' (general projective warps) or 'separable' (fast axis-
+    gather path, valid when degrees==shear==perspective==0 — use
+    `render_method(cfg)` to pick)."""
     global _render_jit
     if _render_jit is None:
         import jax
 
         _render_jit = jax.jit(
             _render_batch, static_argnames=("out_hw", "tile_hw", "fill",
-                                            "lb_fill"),
+                                            "lb_fill", "method"),
         )
     return _render_jit(tiles, plan, out_hw=out_hw, tile_hw=tile_hw,
-                       fill=fill, lb_fill=lb_fill)
+                       fill=fill, lb_fill=lb_fill, method=method)
 
 
-def _render_batch(tiles, plan, out_hw, tile_hw, fill=114, lb_fill=114):
+def _render_batch(tiles, plan, out_hw, tile_hw, fill=114, lb_fill=114,
+                  method="gather"):
     """Render a batch of augmentation plans to (B, H, W, 3) uint8 on device.
 
     Per output pixel, composing the exact host chain in inverse:
     letterbox (per-sample scale/pad, INTER_NEAREST) <- flips <- [cutout,
     HSV applied forward] <- warp M^-1 <- mosaic tile gather + mixup blend.
 
-    plan fields (all batched): minv (B,3,3), rects (B,8,4), offs (B,8,2),
-    mix (B,), hsv (B,3), flips (B,2), plane_wh (B,2), lbox (B,3)
+    plan fields (all batched): minv (B,3,3), rects (B,8,4), mix (B,),
+    hsv (B,3), flips (B,2), plane_wh (B,2), lbox (B,3)
     [scale, pad_left, pad_top], cut_rects (B,31,4), cut_colors (B,31,3),
     cut_on (B,31).
     """
@@ -442,7 +566,6 @@ def _render_batch(tiles, plan, out_hw, tile_hw, fill=114, lb_fill=114):
     oh, ow = out_hw
     th, tw = tile_hw
     b = tiles.shape[0]
-    tiles_f = tiles.astype(jnp.float32).reshape(b, N_TILES * th * tw, 3)
 
     x = jnp.arange(ow, dtype=jnp.float32)[None, None, :]
     y = jnp.arange(oh, dtype=jnp.float32)[None, :, None]
@@ -453,7 +576,9 @@ def _render_batch(tiles, plan, out_hw, tile_hw, fill=114, lb_fill=114):
     pw = plan["plane_wh"][:, 0][:, None, None]
     ph = plan["plane_wh"][:, 1][:, None, None]
 
-    # letterbox inverse: INTER_NEAREST source index floor(dst/scale)
+    # letterbox inverse: INTER_NEAREST source index floor(dst/scale).
+    # xi/fx depend only on (sample, column) and yi/fy only on (sample,
+    # row) — kept as (B,1,W)/(B,H,1) so the separable path stays per-axis.
     xi = jnp.floor((x - padl) / scale)
     yi = jnp.floor((y - padt) / scale)
     valid = (xi >= 0) & (xi < pw) & (yi >= 0) & (yi < ph)
@@ -463,27 +588,45 @@ def _render_batch(tiles, plan, out_hw, tile_hw, fill=114, lb_fill=114):
     # flips (sample-plane mirror)
     flip_lr = plan["flips"][:, 0][:, None, None]
     flip_ud = plan["flips"][:, 1][:, None, None]
-    fx = jnp.where(flip_lr > 0, pw - 1 - xi, xi)
-    fy = jnp.where(flip_ud > 0, ph - 1 - yi, yi)
+    fx = jnp.where(flip_lr > 0, pw - 1 - xi, xi)  # (B, 1, W)
+    fy = jnp.where(flip_ud > 0, ph - 1 - yi, yi)  # (B, H, 1)
 
-    # warp to mosaic-canvas coords (perspective-general)
+    # warp to mosaic-canvas coords
     minv = plan["minv"]
-    u = minv[:, 0, 0][:, None, None] * fx + minv[:, 0, 1][:, None, None] * fy \
-        + minv[:, 0, 2][:, None, None]
-    v = minv[:, 1, 0][:, None, None] * fx + minv[:, 1, 1][:, None, None] * fy \
-        + minv[:, 1, 2][:, None, None]
-    w_ = minv[:, 2, 0][:, None, None] * fx + minv[:, 2, 1][:, None, None] * fy \
-        + minv[:, 2, 2][:, None, None]
-    u = u / w_
-    v = v / w_
+    if method == "separable":
+        # diagonal-affine: u is a per-column function, v per-row
+        u = minv[:, 0, 0][:, None] * fx[:, 0, :] + minv[:, 0, 2][:, None]
+        v = minv[:, 1, 1][:, None] * fy[:, :, 0] + minv[:, 1, 2][:, None]
+        layers = [
+            _sample_layer_separable(tiles[:, 4 * i:4 * i + 4],
+                                    plan["rects"][:, 4 * i:4 * i + 4],
+                                    u, v, th, tw, float(fill))
+            for i in (0, 1)
+        ]
+    else:
+        u = minv[:, 0, 0][:, None, None] * fx \
+            + minv[:, 0, 1][:, None, None] * fy \
+            + minv[:, 0, 2][:, None, None]
+        v = minv[:, 1, 0][:, None, None] * fx \
+            + minv[:, 1, 1][:, None, None] * fy \
+            + minv[:, 1, 2][:, None, None]
+        w_ = minv[:, 2, 0][:, None, None] * fx \
+            + minv[:, 2, 1][:, None, None] * fy \
+            + minv[:, 2, 2][:, None, None]
+        u = u / w_
+        v = v / w_
+        tiles_flat = tiles.reshape(b, N_TILES * th * tw, 3)
+        layers = [
+            _sample_layer(tiles_flat[:, 4 * i * th * tw:
+                                     (4 * i + 4) * th * tw],
+                          plan["rects"][:, 4 * i:4 * i + 4],
+                          u, v, th, tw, float(fill))
+            for i in (0, 1)
+        ]
 
     # two mixup layers, blended post-sample (linear in pixel values)
-    a = _sample_layer(tiles_f[:, : 4 * th * tw], plan["rects"][:, :4],
-                      plan["offs"][:, :4], u, v, th, tw, float(fill))
-    bl = _sample_layer(tiles_f[:, 4 * th * tw:], plan["rects"][:, 4:],
-                       plan["offs"][:, 4:], u, v, th, tw, float(fill))
     ratio = plan["mix"][:, None, None, None]
-    val = ratio * a + (1.0 - ratio) * bl
+    val = ratio * layers[0] + (1.0 - ratio) * layers[1]
     val = jnp.round(val)
 
     # cutout paint (sample-plane coords, sequential: later mask wins)

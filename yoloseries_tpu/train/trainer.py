@@ -275,7 +275,7 @@ class Trainer:
     # --------------------------------------------------------------- train
     def _device_batch(self, batch):
         if "tiles" in batch:  # device_aug plan batch: render pixels on-TPU
-            from ..data.device_aug import render_batch
+            from ..data.device_aug import render_batch, render_method
 
             fill = self.train_dataset.aug.fill_value
             plan = {
@@ -289,6 +289,7 @@ class Trainer:
                 tile_hw=tuple(self.train_dataset.input_size),
                 fill=fill,
                 lb_fill=fill,
+                method=render_method(self.train_dataset.aug),
             )
             return {"img": img,
                     "ann": jax.device_put(batch["ann"], self.batch_shard)}
