@@ -28,6 +28,11 @@ def parse_args():
     p.add_argument("--output-dir", default="runs")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE",
+        help="override any flattened hyp key (YAML-typed), e.g. "
+             "--set device_aug=true --set data_aug_mixup_p=0.5",
+    )
     return p.parse_args()
 
 
@@ -52,6 +57,11 @@ def main():
         hyp["total_epoch"] = args.total_epoch
     if args.input_size:
         hyp["input_img_size"] = [args.input_size, args.input_size]
+    for kv in args.set:
+        import yaml
+
+        key, _, value = kv.partition("=")
+        hyp[key.strip()] = yaml.safe_load(value)
 
     num_class = (
         max(load_names(args.name_path)) + 1 if args.name_path else None

@@ -185,6 +185,100 @@ def test_device_aug_rejects_unsupported(aug_dataset):
                    device_aug=True)
 
 
+def test_device_aug_cache_resizes_oversized(aug_dataset, tmp_path):
+    """Images larger than input_size work through cache_images' min-scale
+    resize (TrainConfig forces the cache on whenever device_aug is set —
+    regression: the 640px A/B rehearsal failed on 690px raw images)."""
+    img_dir, lab_dir, names = aug_dataset
+    aug = AugmentConfig(input_size=(64, 64), **FULL_AUG)
+    ds = DetectionDataset(img_dir, lab_dir, names, input_size=(64, 64),
+                          aug=aug, cache_images=True, cache_dir=tmp_path)
+    plan, boxes, labels, plane_hw = plan_sample(
+        ds, 0, np.random.default_rng(0))
+    assert plan["tiles"].shape[1:3] == (64, 64)
+    assert len(boxes) == 0 or boxes.max() <= 2 * 64
+    # warm start reads the sidecar (no image decodes) and agrees
+    ds2 = DetectionDataset(img_dir, lab_dir, names, input_size=(64, 64),
+                           aug=aug, cache_images=True, cache_dir=tmp_path)
+    np.testing.assert_array_equal(ds._orig_shapes, ds2._orig_shapes)
+    np.testing.assert_array_equal(ds._cache_shapes, ds2._cache_shapes)
+
+    from yoloseries_tpu.configs import TrainConfig
+
+    assert TrainConfig.from_hyp({"device_aug": True}, num_class=3).cache_images
+
+
+def test_device_cache_render_matches_tiles(aug_dataset, tmp_path):
+    """with_pixels=False plans (indices + storage origins only) rendered
+    against the device-resident cache are BIT-IDENTICAL to pixel-tile
+    plans: the placement math is shared, repack_tiles just replays it in
+    HBM. This is the zero-host-bytes input path."""
+    import jax.numpy as jnp
+
+    from yoloseries_tpu.data.device_aug import repack_tiles
+
+    img_dir, lab_dir, names = aug_dataset
+    aug = AugmentConfig(input_size=SIZE, **SEP_AUG)
+    ds = DetectionDataset(img_dir, lab_dir, names, input_size=SIZE,
+                          aug=aug, cache_images=True, cache_dir=tmp_path)
+    cache = jnp.asarray(np.asarray(ds._cache))
+
+    plans_t, plans_c = [], []
+    for idx in range(6):
+        pt = plan_sample(ds, idx, np.random.default_rng((3, idx)))
+        pc = plan_sample(ds, idx, np.random.default_rng((3, idx)),
+                         with_pixels=False)
+        np.testing.assert_array_equal(pt[1], pc[1])  # boxes
+        np.testing.assert_array_equal(pt[0]["rects"], pc[0]["rects"])
+        for p in (pt, pc):
+            p[0]["lbox"] = np.asarray([1.0, 0.0, 0.0], np.float32)
+        plans_t.append(pt[0])
+        plans_c.append(pc[0])
+
+    bt = {k: np.stack([p[k] for p in plans_t]) for k in plans_t[0]}
+    bc = {k: np.stack([p[k] for p in plans_c]) for k in plans_c[0]}
+    tiles = bt.pop("tiles")
+
+    # the repacked buffer equals the host-written one wherever a rect
+    # can be sampled; compare the full render output (exact)
+    repacked = np.asarray(repack_tiles(cache, jnp.asarray(bc["img_ids"]),
+                                       jnp.asarray(bc["tile_off"])))
+    assert repacked.shape == tiles.shape
+
+    for method in ("separable", "gather"):
+        out_t = np.asarray(render_batch(tiles, bt, out_hw=SIZE,
+                                        tile_hw=SIZE, method=method))
+        out_c = np.asarray(render_batch(None, bc, out_hw=SIZE,
+                                        tile_hw=SIZE, method=method,
+                                        cache=cache))
+        np.testing.assert_array_equal(out_t, out_c)
+
+
+def test_loader_device_cache_end_to_end(aug_dataset, tmp_path):
+    """DataLoader(device_cache=True) emits pixel-free plan batches whose
+    annotations match the pixel-plan loader exactly."""
+    img_dir, lab_dir, names = aug_dataset
+    aug = AugmentConfig(input_size=SIZE, **SEP_AUG)
+    ds = DetectionDataset(img_dir, lab_dir, names, input_size=SIZE,
+                          aug=aug, cache_images=True, cache_dir=tmp_path)
+    common = dict(batch_size=4, max_labels=20, seed=11, workers=2,
+                  shuffle=False, infinite=True, use_processes=False)
+    tile_loader = DataLoader(ds, device_aug=True, **common)
+    cache_loader = DataLoader(ds, device_aug=True, device_cache=True,
+                              **common)
+    try:
+        tb = next(iter(tile_loader))
+        cb = next(iter(cache_loader))
+        np.testing.assert_array_equal(tb["ann"], cb["ann"])
+        assert "tiles" not in cb and "img_ids" in cb["plan"]
+        # pixel-free: the whole per-batch plan payload is tiny
+        payload = sum(v.nbytes for v in cb["plan"].values())
+        assert payload < 64 * 1024, payload
+    finally:
+        tile_loader.stop()
+        cache_loader.stop()
+
+
 def test_loader_surfaces_worker_errors(aug_dataset):
     """A worker exception reaches the consumer as a raise, not a silent
     producer exit (which used to hang __next__ forever): plan_sample

@@ -66,6 +66,14 @@ class TrainConfig:
     # workers only plan geometry + box math — the fix for augmentation-bound
     # training on low-core hosts (measured 40x input stall at 1 core)
     device_aug: bool = False
+    # keep the WHOLE resized train set resident in HBM and ship only plan
+    # scalars per batch (device_aug mode; ~N*h*w*3 bytes of HBM). The
+    # host<->device boundary then carries no pixels at all
+    device_cache: bool = False
+    # memmap-cache min-scale-resized train images (reference cache_num,
+    # dataset/datasets.py:277-322). device_aug forces it: tiles must fit
+    # the input-size buffer
+    cache_images: bool = False
     no_aug_epochs: int = 10
     val_every: int = 1
     save_every: int = 1
@@ -162,6 +170,10 @@ class TrainConfig:
             do_ema=hyp.get("do_ema", True),
             remat=hyp.get("remat", False),
             device_aug=hyp.get("device_aug", False),
+            device_cache=hyp.get("device_cache", False),
+            cache_images=bool(hyp.get("cache_num", 0))
+            or bool(hyp.get("cache_images", False))
+            or bool(hyp.get("device_aug", False)),
             no_aug_epochs=hyp.get("no_data_aug_epoch", 10),
             val_every=hyp.get("validation_every", 1),
             save_every=hyp.get("save_ckpt_every", 1),

@@ -91,6 +91,7 @@ class DetectionDataset:
         # the reference's cached-path numerics.
         self._cache = None
         self._cache_shapes = None
+        self._orig_shapes = None
         if cache_images:
             self._build_cache(cache_dir)
 
@@ -137,26 +138,36 @@ class DetectionDataset:
         cache_file = cache_dir / (
             f"img_{self.img_dir.name}_cache_h{h}_w{w}_{len(self)}.array"
         )
-        fresh = not cache_file.exists()
+        shapes_file = cache_file.with_suffix(".shapes.npy")
+        fresh = not (cache_file.exists() and shapes_file.exists())
         self._cache = np.memmap(
             cache_file, shape=(len(self), h, w, 3), dtype=np.uint8,
             mode="w+" if fresh else "r+",
         )
+        if not fresh:
+            # warm start: sidecar has cached + original shapes — no image
+            # is decoded (a cold build used to be paid on EVERY startup)
+            shapes = np.load(shapes_file)
+            self._cache_shapes = shapes[:, :2].copy()
+            self._orig_shapes = shapes[:, 2:].copy()
+            return
         self._cache_shapes = np.zeros((len(self), 2), dtype=np.int32)
+        self._orig_shapes = np.zeros((len(self), 2), dtype=np.int32)
 
         def resize_one(i):
             img = self.load_img(i)
             r = min(h / img.shape[0], w / img.shape[1])
             rh, rw = int(img.shape[0] * r), int(img.shape[1] * r)
             self._cache_shapes[i] = (rh, rw)
-            if fresh:
-                out = cv2.resize(img, (rw, rh), interpolation=cv2.INTER_LINEAR)
-                self._cache[i, :rh, :rw] = out
+            self._orig_shapes[i] = img.shape[:2]
+            out = cv2.resize(img, (rw, rh), interpolation=cv2.INTER_LINEAR)
+            self._cache[i, :rh, :rw] = out
 
         with ThreadPoolExecutor(max_workers=8) as pool:
             list(pool.map(resize_one, range(len(self))))
-        if fresh:
-            self._cache.flush()
+        self._cache.flush()
+        np.save(shapes_file,
+                np.concatenate([self._cache_shapes, self._orig_shapes], 1))
 
     def pull_item(self, idx: int):
         """Raw (img, boxes (N,4) xyxy, classes (N,)). With the image cache
@@ -168,12 +179,10 @@ class DetectionDataset:
             rh, rw = self._cache_shapes[idx]
             img = np.asarray(self._cache[idx, :rh, :rw])
             # boxes scale by the cached resize ratio r = min(h/H, w/W);
-            # the original size comes from a cheap PIL header read
-            from PIL import Image as _Image
-
+            # original sizes come from the cache sidecar (a PIL header
+            # read here cost 8 file opens per mosaic+mixup plan)
             h, w = self.input_size
-            with _Image.open(self.img_files[idx]) as im:
-                W, H = im.size
+            H, W = self._orig_shapes[idx]
             boxes = boxes * min(h / H, w / W)
             return img, boxes, classes
         img = self.load_img(idx)

@@ -49,7 +49,7 @@ from .augment import (
     valid_boxes_mask,
 )
 
-__all__ = ["plan_sample", "render_batch", "render_method",
+__all__ = ["plan_sample", "render_batch", "render_method", "repack_tiles",
            "device_aug_supported", "N_TILES", "N_CUTOUT"]
 
 N_TILES = 8  # 4 mosaic-A + 4 mosaic-B (mixup); single-image plans use tile 0
@@ -82,9 +82,8 @@ def render_method(cfg: AugmentConfig) -> str:
     return "separable" if diag else "gather"
 
 
-def _empty_plan(th, tw):
-    return {
-        "tiles": np.zeros((N_TILES, th, tw, 3), np.uint8),
+def _empty_plan(th, tw, with_pixels=True):
+    plan = {
         "rects": np.zeros((N_TILES, 4), np.float32),
         "minv": np.eye(3, dtype=np.float32),
         "mix": np.float32(1.0),
@@ -95,22 +94,47 @@ def _empty_plan(th, tw):
         "cut_colors": np.zeros((N_CUTOUT, 3), np.float32),
         "cut_on": np.zeros((N_CUTOUT,), np.float32),
     }
+    if with_pixels:
+        plan["tiles"] = np.zeros((N_TILES, th, tw, 3), np.uint8)
+    else:
+        # device-cache plan: pixels stay in the chip-resident dataset
+        # cache; only indices + storage origins cross the host boundary
+        plan["img_ids"] = np.zeros((N_TILES,), np.int32)
+        plan["tile_off"] = np.zeros((N_TILES, 2), np.float32)
+        plan["_tile_hw"] = (th, tw)
+    return plan
 
 
-def _place_tile(plan, t, img_crop, rect, xc, yc):
-    """Write a canvas crop into tile t with HALF-ALIGNED storage: left-half
-    tiles are right-aligned (local x = canvas x + tw - xc), top-half tiles
-    bottom-aligned (local y = canvas y + th - yc), right/bottom halves
-    left/top-aligned (local = canvas - xc/yc). The canvas->local offset is
-    then a per-half constant derivable from rects alone — which is what
-    lets the separable renderer fetch columns with a row-invariant index
-    (and both renderers drop the per-tile offset table)."""
-    th, tw = plan["tiles"].shape[1:3]
+def _place_tile(plan, t, img, crop, rect, xc, yc, img_id=-1):
+    """Place the image crop `crop` (xyxy, image coords) of `img` into tile
+    t with HALF-ALIGNED storage: left-half tiles are right-aligned (local
+    x = canvas x + tw - xc), top-half tiles bottom-aligned (local y =
+    canvas y + th - yc), right/bottom halves left/top-aligned (local =
+    canvas - xc/yc). The canvas->local offset is then a per-half constant
+    derivable from rects alone — which is what lets the separable renderer
+    fetch columns with a row-invariant index.
+
+    Two plan modes share this placement math:
+    * pixel plans ("tiles" present): copy the crop's pixels now;
+    * device-cache plans ("img_ids"): record only (img_id, image coords of
+      storage origin) — the repack/gather happens in HBM from the
+      device-resident dataset cache (repack_tiles)."""
+    if "tiles" in plan:
+        th, tw = plan["tiles"].shape[1:3]
+    else:
+        th, tw = plan["_tile_hw"]
     xo1, yo1, xo2, yo2 = rect
+    xi1, yi1 = crop[0], crop[1]
     xs0 = xo1 + (tw - xc if xo2 <= xc else -xc)
     ys0 = yo1 + (th - yc if yo2 <= yc else -yc)
-    plan["tiles"][t, ys0:ys0 + (yo2 - yo1), xs0:xs0 + (xo2 - xo1)] = img_crop
     plan["rects"][t] = rect
+    if "tiles" in plan:
+        plan["tiles"][t, ys0:ys0 + (yo2 - yo1), xs0:xs0 + (xo2 - xo1)] = \
+            img[yi1:yi1 + (yo2 - yo1), xi1:xi1 + (xo2 - xo1)]
+    else:
+        plan["img_ids"][t] = img_id
+        # image coords of storage origin: row j holds image row j + iy0
+        plan["tile_off"][t] = (xi1 - xs0, yi1 - ys0)
 
 
 def _plan_mosaic(dataset, idx, rng, plan, layer):
@@ -130,7 +154,7 @@ def _plan_mosaic(dataset, idx, rng, plan, layer):
     boxes_out, labels_out = [], []
     t0 = 4 * layer
 
-    th, tw = plan["tiles"].shape[1:3]
+    th, tw = dataset.input_size  # == the tile buffer shape
     for i, (img, boxes, labels) in enumerate(pulled):
         h, w = img.shape[:2]
         if h > th or w > tw:
@@ -154,8 +178,8 @@ def _plan_mosaic(dataset, idx, rng, plan, layer):
         xi1, yi1 = cx - dxi, cy - dyi
         xi2, yi2 = cx + (wi - dxi), cy + (hi - dyi)
 
-        _place_tile(plan, t0 + i, img[yi1:yi2, xi1:xi2],
-                    (xo1, yo1, xo2, yo2), xc, yc)
+        _place_tile(plan, t0 + i, img, (xi1, yi1, xi2, yi2),
+                    (xo1, yo1, xo2, yo2), xc, yc, img_id=indices[i])
 
         boxes = np.round(np.asarray(boxes, np.float32), 3)
         labels = np.asarray(labels)
@@ -182,10 +206,12 @@ def _plan_mosaic(dataset, idx, rng, plan, layer):
     # degenerate (mosaic4:120-121): fall back to the first pulled tile as a
     # single-image plane (treated as a top-left tile with xc=w, yc=h)
     img, boxes, labels = pulled[0]
-    plan["tiles"][t0:t0 + 4] = 0
+    if "tiles" in plan:
+        plan["tiles"][t0:t0 + 4] = 0
     plan["rects"][t0:t0 + 4] = 0.0
     h, w = img.shape[:2]
-    _place_tile(plan, t0, img, (0, 0, w, h), w, h)
+    _place_tile(plan, t0, img, (0, 0, w, h), (0, 0, w, h), w, h,
+                img_id=indices[0])
     return (h, w), np.asarray(boxes), np.asarray(labels), False
 
 
@@ -274,10 +300,16 @@ def _plan_chain(plan, boxes, labels, plane_hw, cfg: AugmentConfig, rng):
     return plan, boxes, labels, plane_hw
 
 
-def plan_sample(dataset, idx: int, rng: np.random.Generator):
+def plan_sample(dataset, idx: int, rng: np.random.Generator,
+                with_pixels: bool = True):
     """One augmented-sample PLAN: rng-draw-compatible with
     YOLODataset.get(..., enable_aug=True) so boxes/labels are identical to
     the host pipeline; pixels are rendered later by render_batch.
+
+    with_pixels=False produces a device-cache plan: no pixel bytes at all
+    (img_ids + storage origins instead of tiles) for rendering against a
+    chip-resident dataset cache (requires dataset cache_images so cached
+    shapes are known and ids index the cache).
 
     Returns (plan dict, boxes (N,4) xyxy in the sample plane, labels (N,),
     plane_hw) — the sample plane is what the host pipeline would have
@@ -287,7 +319,7 @@ def plan_sample(dataset, idx: int, rng: np.random.Generator):
     th, tw = dataset.input_size
 
     for _attempt in range(10):
-        plan = _empty_plan(th, tw)
+        plan = _empty_plan(th, tw, with_pixels)
         img, boxes, labels = dataset.pull_item(idx)
         plane_hw = img.shape[:2]
         if rng.random() < dataset.aug.mosaic_p:
@@ -311,7 +343,8 @@ def plan_sample(dataset, idx: int, rng: np.random.Generator):
                     f"({th}x{tw}); got {h}x{w}. Enable cache_images=True "
                     "(min-scale resize) or pre-size the dataset."
                 )
-            _place_tile(plan, 0, img, (0, 0, w, h), w, h)
+            _place_tile(plan, 0, img, (0, 0, w, h), (0, 0, w, h), w, h,
+                        img_id=idx)
 
         plan, boxes, labels, plane_hw = _plan_chain(
             plan, np.asarray(boxes, np.float32), np.asarray(labels),
@@ -322,15 +355,17 @@ def plan_sample(dataset, idx: int, rng: np.random.Generator):
             keep = valid_boxes_mask(boxes)
             boxes, labels = boxes[keep], labels[keep]
         if len(boxes) and boxes.sum() > 0:
+            plan.pop("_tile_hw", None)
             return plan, boxes.astype(np.float32), labels.astype(np.float32), plane_hw
         idx = int(rng.integers(0, len(dataset)))
 
     # give up augmenting (dataset.get:227-229): raw item as a 1-tile plan
-    plan = _empty_plan(th, tw)
+    plan = _empty_plan(th, tw, with_pixels)
     img, boxes, labels = dataset.pull_item(idx)
     h, w = img.shape[:2]
-    _place_tile(plan, 0, img, (0, 0, w, h), w, h)
+    _place_tile(plan, 0, img, (0, 0, w, h), (0, 0, w, h), w, h, img_id=idx)
     plan["plane_wh"] = np.asarray([w, h], np.float32)
+    plan.pop("_tile_hw", None)
     return plan, boxes.astype(np.float32), labels.astype(np.float32), (h, w)
 
 
@@ -525,27 +560,75 @@ def _sample_layer_separable(tiles, rects, u, v, th, tw, fill):
     return val + fill * (1.0 - cov)[..., None]
 
 
-_render_jit = None
+def repack_tiles(cache, img_ids, tile_off):
+    """Materialize the half-aligned (B, 8, th, tw, 3) tile buffer in HBM
+    from the device-resident dataset cache — two axis gathers (whole rows,
+    then row-invariant columns), no host bytes involved.
+
+    cache: (N, th, tw, 3) uint8 (the min-scale-resized image cache,
+    DetectionDataset cache_images). img_ids: (B, 8) int32.
+    tile_off: (B, 8, 2) f32 — image coords (x, y) of storage origin, so
+    storage pixel (j, k) of tile t holds cache[id, j + y0, k + x0].
+    Out-of-crop storage positions read clipped in-image pixels; the
+    renderer's rect-hit test guarantees they are never sampled.
+    """
+    import jax.numpy as jnp
+
+    n, th, tw, _ = cache.shape
+    b = img_ids.shape[0]
+    flat = cache.reshape(n * th, tw, 3)
+    iy0 = tile_off[..., 1].astype(jnp.int32)  # (B, 8)
+    ix0 = tile_off[..., 0].astype(jnp.int32)
+    rows = jnp.clip(iy0[..., None] + jnp.arange(th), 0, th - 1)  # (B,8,th)
+    ridx = img_ids[..., None] * th + rows
+    g = jnp.take(flat, ridx.reshape(-1), axis=0).reshape(b, N_TILES, th,
+                                                         tw, 3)
+    cols = jnp.clip(ix0[..., None] + jnp.arange(tw), 0, tw - 1)  # (B,8,tw)
+    return jnp.take_along_axis(g, cols[:, :, None, :, None], axis=3)
+
+
+_render_jit = {}
 
 
 def render_batch(tiles, plan, out_hw, tile_hw, fill=114, lb_fill=114,
-                 method="gather"):
+                 method="gather", cache=None):
     """Jitted entry (lazy: loader worker processes import this module for
     plan_sample and must not pull jax into a forked interpreter).
 
     method: 'gather' (general projective warps) or 'separable' (fast axis-
     gather path, valid when degrees==shear==perspective==0 — use
-    `render_method(cfg)` to pick)."""
-    global _render_jit
-    if _render_jit is None:
-        import jax
+    `render_method(cfg)` to pick).
 
-        _render_jit = jax.jit(
-            _render_batch, static_argnames=("out_hw", "tile_hw", "fill",
-                                            "lb_fill", "method"),
-        )
-    return _render_jit(tiles, plan, out_hw=out_hw, tile_hw=tile_hw,
-                       fill=fill, lb_fill=lb_fill, method=method)
+    cache: device-resident (N, th, tw, 3) uint8 dataset cache. When given,
+    `tiles` is ignored (pass None) and the plan must carry img_ids +
+    tile_off (plan_sample with_pixels=False): the tile buffer is repacked
+    in HBM and only plan scalars cross the host boundary."""
+    global _render_jit
+    import jax
+
+    mode = "cache" if cache is not None else "tiles"
+    if mode not in _render_jit:
+        if mode == "cache":
+            def _cached(cache, plan, out_hw, tile_hw, fill, lb_fill, method):
+                tiles = repack_tiles(cache, plan["img_ids"],
+                                     plan["tile_off"])
+                return _render_batch(tiles, plan, out_hw, tile_hw, fill,
+                                     lb_fill, method)
+
+            _render_jit[mode] = jax.jit(
+                _cached, static_argnames=("out_hw", "tile_hw", "fill",
+                                          "lb_fill", "method"),
+            )
+        else:
+            _render_jit[mode] = jax.jit(
+                _render_batch, static_argnames=("out_hw", "tile_hw", "fill",
+                                                "lb_fill", "method"),
+            )
+    if mode == "cache":
+        return _render_jit[mode](cache, plan, out_hw=out_hw, tile_hw=tile_hw,
+                                 fill=fill, lb_fill=lb_fill, method=method)
+    return _render_jit[mode](tiles, plan, out_hw=out_hw, tile_hw=tile_hw,
+                             fill=fill, lb_fill=lb_fill, method=method)
 
 
 def _render_batch(tiles, plan, out_hw, tile_hw, fill=114, lb_fill=114,

@@ -44,12 +44,13 @@ def _worker_init(dataset, enable_aug):
 
 
 def _worker_load(args):
-    idx, sample_id, seed, enable_aug, plan_mode = args
+    idx, sample_id, seed, enable_aug, plan_mode, with_pixels = args
     rng = np.random.default_rng((seed, sample_id))
     if plan_mode:
         from .device_aug import plan_sample
 
-        return plan_sample(_WORKER_DATASET, idx, rng)
+        return plan_sample(_WORKER_DATASET, idx, rng,
+                           with_pixels=with_pixels)
     return _WORKER_DATASET.get(idx, rng, enable_aug=enable_aug)
 
 
@@ -113,8 +114,9 @@ def collate_plan_batch(samples, dst_size, max_labels: int, stride: int = 32):
     tiles + a parameter record until `render_batch` runs on device.
 
     samples: list of (plan dict, boxes (N,4), classes (N,), plane_hw).
-    Returns dict with tiles (B,8,th,tw,3) u8, plan {...}, ann (B,M,6) f32,
-    info (B,5) f32.
+    Returns dict with plan {...}, ann (B,M,6) f32, info (B,5) f32, and —
+    for pixel plans — tiles (B,8,th,tw,3) u8 (device-cache plans carry
+    img_ids/tile_off inside the plan instead).
     """
     from ..ops.preprocess import letterbox_plan
 
@@ -138,10 +140,12 @@ def collate_plan_batch(samples, dst_size, max_labels: int, stride: int = 32):
             anns[i, :n, 5] = i
 
     plan = {k: np.stack([s[0][k] for s in samples]) for k in samples[0][0]}
-    tiles = plan.pop("tiles")
     plan["lbox"] = lbox
-    return {"tiles": tiles, "plan": plan, "ann": anns, "info": infos,
-            "dst_hw": (h, w), "n_dropped": n_dropped}
+    batch = {"plan": plan, "ann": anns, "info": infos,
+             "dst_hw": (h, w), "n_dropped": n_dropped}
+    if "tiles" in plan:
+        batch["tiles"] = plan.pop("tiles")
+    return batch
 
 
 class DataLoader:
@@ -167,6 +171,7 @@ class DataLoader:
         device_put=None,
         use_processes: bool | None = None,
         device_aug: bool = False,
+        device_cache: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -183,6 +188,10 @@ class DataLoader:
         # O(#boxes) work); the consumer renders pixels on the TPU with
         # data.device_aug.render_batch. See device_aug.py for the why.
         self.device_aug = bool(device_aug)
+        # device_cache: plans carry image INDICES into the chip-resident
+        # dataset cache instead of pixel tiles — nothing but scalars and
+        # labels cross the host<->device boundary per batch
+        self.device_cache = bool(device_cache) and self.device_aug
         if self.device_aug:
             from .device_aug import device_aug_supported
 
@@ -191,6 +200,11 @@ class DataLoader:
                     "device_aug has no renderer path for blur_p/"
                     "scale_jitting_p > 0 — use the host pipeline for those"
                 )
+        if self.device_cache and dataset._cache is None:
+            raise ValueError(
+                "device_cache needs the dataset image cache "
+                "(cache_images=True): plans index cached images"
+            )
         # augmentation is CPU-bound numpy/cv2: Python threads serialize on
         # the GIL, so real throughput needs PROCESS workers (the reference's
         # torch DataLoader num_workers are processes too). Default: processes
@@ -250,7 +264,8 @@ class DataLoader:
         if plan_mode:
             from .device_aug import plan_sample
 
-            return plan_sample(self.dataset, idx, rng)
+            return plan_sample(self.dataset, idx, rng,
+                               with_pixels=not self.device_cache)
         return self.dataset.get(idx, rng, enable_aug=self._enable_aug)
 
     def _produce(self):
@@ -272,7 +287,8 @@ class DataLoader:
                 if self._proc_pool is not None:
                     samples = self._proc_pool.map(
                         _worker_load,
-                        [(i, sid, self.seed, self._enable_aug, plan_mode)
+                        [(i, sid, self.seed, self._enable_aug, plan_mode,
+                          not self.device_cache)
                          for i, sid in zip(chunk, ids)],
                     )
                 else:

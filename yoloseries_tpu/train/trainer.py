@@ -77,6 +77,9 @@ class Trainer:
         self.train_dataset = DetectionDataset(
             train_dirs[0], train_dirs[1], names_path,
             input_size=cfg.input_size, aug=cfg.aug, enable_aug=True,
+            # the val dataset stays uncached: eval letterboxes from the
+            # ORIGINAL resolution (protocol numerics)
+            cache_images=cfg.cache_images,
         )
         self.num_class = self.train_dataset.num_class
         self.val_dataset = None
@@ -102,7 +105,18 @@ class Trainer:
             world_size=jax.process_count(),
             workers=cfg.num_workers,
             device_aug=cfg.device_aug,
+            device_cache=cfg.device_cache,
         )
+        # device_cache: one-time upload of the resized train set; per-batch
+        # host->device traffic is then plan scalars + labels only
+        self._dev_cache = None
+        if self.train_loader.device_cache:
+            from ..parallel.mesh import replicated
+
+            self._dev_cache = jax.device_put(
+                np.asarray(self.train_dataset._cache),
+                replicated(self.mesh),
+            )
         # the loader shards indices by world_size, so an epoch on this host
         # only sees len(dataset)/world_size samples (DataLoader.__len__)
         self.steps_per_epoch = max(
@@ -274,7 +288,7 @@ class Trainer:
 
     # --------------------------------------------------------------- train
     def _device_batch(self, batch):
-        if "tiles" in batch:  # device_aug plan batch: render pixels on-TPU
+        if "plan" in batch:  # device_aug plan batch: render pixels on-TPU
             from ..data.device_aug import render_batch, render_method
 
             fill = self.train_dataset.aug.fill_value
@@ -283,13 +297,15 @@ class Trainer:
                 for k, v in batch["plan"].items()
             }
             img = render_batch(
-                jax.device_put(batch["tiles"], self.batch_shard),
+                jax.device_put(batch["tiles"], self.batch_shard)
+                if "tiles" in batch else None,
                 plan,
                 out_hw=tuple(batch["dst_hw"]),
                 tile_hw=tuple(self.train_dataset.input_size),
                 fill=fill,
                 lb_fill=fill,
                 method=render_method(self.train_dataset.aug),
+                cache=self._dev_cache,
             )
             return {"img": img,
                     "ann": jax.device_put(batch["ann"], self.batch_shard)}
