@@ -77,6 +77,16 @@ def main():
                       "value": round(plan_rate, 2),
                       "speedup_vs_host_aug": round(plan_rate / host_rate, 2)}))
 
+    # --- pixel-free planner rate (device_cache mode: no tile memcpy)
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        plan_sample(ds, i % len(ds), np.random.default_rng((0, i)),
+                    with_pixels=False)
+    rate = args.iters / (time.perf_counter() - t0)
+    print(json.dumps({"metric": "plan_nopix_img_s_per_core",
+                      "value": round(rate, 2),
+                      "speedup_vs_host_aug": round(rate / host_rate, 2)}))
+
     # --- device render time (amortized over R chained calls per sync)
     import jax
     import jax.numpy as jnp

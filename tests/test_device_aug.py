@@ -70,7 +70,9 @@ FULL_AUG = dict(mosaic_p=1.0, mixup_p=0.5, perspective_p=1.0, hsv_p=1.0,
     dict(mosaic_p=0.0, perspective_p=1.0, hsv_p=1.0, cutout_p=1.0),
     dict(mosaic_p=1.0, mixup_p=0.0, perspective_p=0.0, hsv_p=0.0,
          fliplr_p=1.0, cutout_p=0.0),
-], ids=["full", "no_mosaic", "mosaic_only_flip"])
+    dict(mosaic_p=1.0, mixup_p=0.5, perspective_p=1.0, hsv_p=1.0,
+         fliplr_p=0.5, blur_p=0.7, scale_jitting_p=0.7),
+], ids=["full", "no_mosaic", "mosaic_only_flip", "blur_jit"])
 def test_plan_labels_match_host(aug_dataset, overrides):
     """plan_sample consumes the same rng draws and box math as get()."""
     ds = _make_ds(aug_dataset, **overrides)
@@ -92,7 +94,7 @@ SEP_AUG = dict(mosaic_p=1.0, mixup_p=0.5, perspective_p=1.0, perspective=0.0,
                hsv_p=1.0, fliplr_p=0.5, flipud_p=0.5, cutout_p=0.5)
 
 
-def _render_plans(ds, n, seed, method, extra_host=None):
+def _render_plans(ds, n, seed, method, staged=False):
     plans, host_imgs = [], []
     for idx in range(n):
         img, hb, hl = ds.get(idx, np.random.default_rng((seed, idx)))
@@ -108,7 +110,8 @@ def _render_plans(ds, n, seed, method, extra_host=None):
     batch_plan = {k: np.stack([p[k] for p in plans]) for k in plans[0]}
     tiles = batch_plan.pop("tiles")
     out = np.asarray(render_batch(tiles, batch_plan, out_hw=SIZE,
-                                  tile_hw=SIZE, method=method))
+                                  tile_hw=SIZE, method=method,
+                                  staged=staged))
     return out, np.stack(host_imgs)
 
 
@@ -134,6 +137,34 @@ def test_render_matches_host_pixels(aug_dataset, overrides, max_bad_frac,
     bad_frac = float((diff > 2).mean())
     assert bad_frac <= max_bad_frac, (bad_frac, float(diff.mean()))
     assert float(diff.mean()) < 1.0
+
+
+@pytest.mark.parametrize("overrides,method", [
+    (dict(FULL_AUG, blur_p=1.0), "gather"),
+    (dict(SEP_AUG, scale_jitting_p=1.0), "separable"),
+    (dict(SEP_AUG, blur_p=0.7, scale_jitting_p=0.7), "separable"),
+], ids=["blur", "jit_sep", "blur_jit_sep"])
+def test_staged_render_matches_host_pixels(aug_dataset, overrides, method):
+    """blur / scale_jitting force the staged renderer (plane -> blur ->
+    jit+letterbox stages); same parity bounds vs the cv2 host chain."""
+    ds = _make_ds(aug_dataset, **overrides)
+    out, host = _render_plans(ds, 6, 7, method, staged=True)
+    diff = np.abs(out.astype(np.int32) - host.astype(np.int32))
+    assert float((diff > 2).mean()) <= 0.05, (float((diff > 2).mean()),
+                                              float(diff.mean()))
+    assert float(diff.mean()) < 1.0
+
+
+def test_staged_equals_pointwise_without_blur_jit(aug_dataset):
+    """With blur/jit off the staged decomposition must reproduce the
+    pointwise renderer to <=1 LSB (the stages are algebraically the same
+    chain, split at the plane)."""
+    ds = _make_ds(aug_dataset, **SEP_AUG)
+    out_p, _ = _render_plans(ds, 6, 19, "separable")
+    out_s, _ = _render_plans(ds, 6, 19, "separable", staged=True)
+    diff = np.abs(out_p.astype(np.int32) - out_s.astype(np.int32))
+    assert float(diff.max()) <= 1, float(diff.max())
+    assert float((diff > 0).mean()) < 0.01
 
 
 def test_separable_equals_gather(aug_dataset):
@@ -179,7 +210,9 @@ def test_loader_device_aug_end_to_end(aug_dataset):
 
 
 def test_device_aug_rejects_unsupported(aug_dataset):
-    ds = _make_ds(aug_dataset, blur_p=0.5)
+    # blur with a PARTIAL warp probability and mosaic on: unwarped mosaic
+    # samples live on the 2x canvas, which the staged plane can't hold
+    ds = _make_ds(aug_dataset, blur_p=0.5, perspective_p=0.5, mosaic_p=1.0)
     with pytest.raises(ValueError, match="device_aug"):
         DataLoader(ds, batch_size=2, workers=1, use_processes=False,
                    device_aug=True)

@@ -49,8 +49,8 @@ from .augment import (
     valid_boxes_mask,
 )
 
-__all__ = ["plan_sample", "render_batch", "render_method", "repack_tiles",
-           "device_aug_supported", "N_TILES", "N_CUTOUT"]
+__all__ = ["plan_sample", "render_batch", "render_method", "render_staged",
+           "repack_tiles", "device_aug_supported", "N_TILES", "N_CUTOUT"]
 
 N_TILES = 8  # 4 mosaic-A + 4 mosaic-B (mixup); single-image plans use tile 0
 N_CUTOUT = 31  # cutout mask budget: len([.5] + [.25]*2 + [.125]*4 + ...)
@@ -59,8 +59,21 @@ _CUTOUT_SCALES = [0.5] + [0.25] * 2 + [0.125] * 4 + [0.0625] * 8 + [0.03125] * 1
 
 
 def device_aug_supported(cfg: AugmentConfig) -> bool:
-    """True when every active knob has a device renderer path."""
-    return cfg.blur_p == 0.0 and cfg.scale_jitting_p == 0.0
+    """True when every active knob has a device renderer path.
+
+    blur / scale_jitting need the STAGED renderer (they don't commute
+    with the nearest letterbox), which materializes the sample plane at
+    input size — so they additionally require the plane to fit the tile
+    buffer: every sample warped (perspective_p == 1.0, the reference
+    default) or mosaic off (no 2x canvas plane)."""
+    if cfg.blur_p == 0.0 and cfg.scale_jitting_p == 0.0:
+        return True
+    return cfg.perspective_p >= 1.0 or cfg.mosaic_p == 0.0
+
+
+def render_staged(cfg: AugmentConfig) -> bool:
+    """Whether render_batch needs the staged path for this config."""
+    return cfg.blur_p > 0.0 or cfg.scale_jitting_p > 0.0
 
 
 def render_method(cfg: AugmentConfig) -> str:
@@ -93,6 +106,12 @@ def _empty_plan(th, tw, with_pixels=True):
         "cut_rects": np.zeros((N_CUTOUT, 4), np.float32),
         "cut_colors": np.zeros((N_CUTOUT, 3), np.float32),
         "cut_on": np.zeros((N_CUTOUT,), np.float32),
+        # staged-path knobs (blur / scale_jitting), zero when inactive
+        "blur_on": np.float32(0.0),
+        "jit_on": np.float32(0.0),
+        "jit": np.float32(1.0),
+        "jit_flip": np.float32(0.0),
+        "jit_off": np.zeros((2,), np.float32),
     }
     if with_pixels:
         plan["tiles"] = np.zeros((N_TILES, th, tw, 3), np.uint8)
@@ -275,8 +294,9 @@ def _plan_chain(plan, boxes, labels, plane_hw, cfg: AugmentConfig, rng):
         r = rng.uniform(-1, 1, 3) * [cfg.hsv_hgain, cfg.hsv_sgain, cfg.hsv_vgain] + 1
         plan["hsv"] = r.astype(np.float32)
 
-    # --- blur draw (gated off by device_aug_supported, draw still consumed)
-    rng.random()
+    # --- blur (augment.py:random_blur): 5x5 mean, rendered by _blur5
+    if rng.random() < cfg.blur_p:
+        plan["blur_on"] = np.float32(1.0)
 
     # --- flips (augment.py:random_flip_lr/ud)
     if rng.random() < cfg.fliplr_p:
@@ -294,8 +314,38 @@ def _plan_chain(plan, boxes, labels, plane_hw, cfg: AugmentConfig, rng):
             out[:, 3] = h - boxes[:, 1]
             boxes = out
 
-    # --- scale jitting draw (gated off, draw consumed)
-    rng.random()
+    # --- scale jitting (augment.py:scale_jitting, dst_size == plane):
+    # identical draws + box math; pixels rendered by the staged path
+    if rng.random() < cfg.scale_jitting_p:
+        jflip = rng.random() > 0.5
+        scale = 1.0  # min(h/h, w/w): dst_size is the plane itself
+        base = 1.0
+        jit = base + (rng.uniform(0.5, 1.5) if scale < 1.0
+                      else rng.uniform(0.0, 0.5))
+        rh, rw = int(h * jit), int(w * jit)
+        y_off = int(rng.integers(0, rh - h)) if rh > h else 0
+        x_off = int(rng.integers(0, rw - w)) if rw > w else 0
+        b = boxes.copy() * jit
+        if len(b) and jflip:
+            x1 = rw - b[:, 2].copy()
+            x2 = rw - b[:, 0].copy()
+            b[:, 0], b[:, 2] = x1, x2
+        if len(b):
+            b[:, [0, 2]] = np.clip(b[:, [0, 2]] - x_off, 0, w)
+            b[:, [1, 3]] = np.clip(b[:, [1, 3]] - y_off, 0, h)
+            ws = b[:, 2] - b[:, 0] + 1e-16
+            hs = b[:, 3] - b[:, 1] + 1e-16
+            ar = np.maximum(ws / hs, hs / ws)
+            keep = (ar < 20) & (ws >= 3) & (hs >= 3)
+        else:
+            keep = np.zeros((0,), dtype=bool)
+        if keep.sum() > 0:
+            boxes, labels = b[keep], labels[keep]
+            plan["jit_on"] = np.float32(1.0)
+            plan["jit"] = np.float32(jit)
+            plan["jit_flip"] = np.float32(jflip)
+            plan["jit_off"] = np.asarray([x_off, y_off], np.float32)
+        # else: reference keeps the unjitted image and boxes
 
     return plan, boxes, labels, plane_hw
 
@@ -591,13 +641,17 @@ _render_jit = {}
 
 
 def render_batch(tiles, plan, out_hw, tile_hw, fill=114, lb_fill=114,
-                 method="gather", cache=None):
+                 method="gather", cache=None, staged=False):
     """Jitted entry (lazy: loader worker processes import this module for
     plan_sample and must not pull jax into a forked interpreter).
 
     method: 'gather' (general projective warps) or 'separable' (fast axis-
     gather path, valid when degrees==shear==perspective==0 — use
     `render_method(cfg)` to pick).
+
+    staged: render the plane first, then blur / scale_jitting / letterbox
+    stages — required when blur_p or scale_jitting_p is active (use
+    `render_staged(cfg)`).
 
     cache: device-resident (N, th, tw, 3) uint8 dataset cache. When given,
     `tiles` is ignored (pass None) and the plan must carry img_ids +
@@ -609,72 +663,36 @@ def render_batch(tiles, plan, out_hw, tile_hw, fill=114, lb_fill=114,
     mode = "cache" if cache is not None else "tiles"
     if mode not in _render_jit:
         if mode == "cache":
-            def _cached(cache, plan, out_hw, tile_hw, fill, lb_fill, method):
+            def _cached(cache, plan, out_hw, tile_hw, fill, lb_fill, method,
+                        staged):
                 tiles = repack_tiles(cache, plan["img_ids"],
                                      plan["tile_off"])
                 return _render_batch(tiles, plan, out_hw, tile_hw, fill,
-                                     lb_fill, method)
+                                     lb_fill, method, staged)
 
             _render_jit[mode] = jax.jit(
                 _cached, static_argnames=("out_hw", "tile_hw", "fill",
-                                          "lb_fill", "method"),
+                                          "lb_fill", "method", "staged"),
             )
         else:
             _render_jit[mode] = jax.jit(
                 _render_batch, static_argnames=("out_hw", "tile_hw", "fill",
-                                                "lb_fill", "method"),
+                                                "lb_fill", "method",
+                                                "staged"),
             )
-    if mode == "cache":
-        return _render_jit[mode](cache, plan, out_hw=out_hw, tile_hw=tile_hw,
-                                 fill=fill, lb_fill=lb_fill, method=method)
-    return _render_jit[mode](tiles, plan, out_hw=out_hw, tile_hw=tile_hw,
-                             fill=fill, lb_fill=lb_fill, method=method)
+    first = cache if mode == "cache" else tiles
+    return _render_jit[mode](first, plan, out_hw=out_hw, tile_hw=tile_hw,
+                             fill=fill, lb_fill=lb_fill, method=method,
+                             staged=staged)
 
 
-def _render_batch(tiles, plan, out_hw, tile_hw, fill=114, lb_fill=114,
-                  method="gather"):
-    """Render a batch of augmentation plans to (B, H, W, 3) uint8 on device.
-
-    Per output pixel, composing the exact host chain in inverse:
-    letterbox (per-sample scale/pad, INTER_NEAREST) <- flips <- [cutout,
-    HSV applied forward] <- warp M^-1 <- mosaic tile gather + mixup blend.
-
-    plan fields (all batched): minv (B,3,3), rects (B,8,4), mix (B,),
-    hsv (B,3), flips (B,2), plane_wh (B,2), lbox (B,3)
-    [scale, pad_left, pad_top], cut_rects (B,31,4), cut_colors (B,31,3),
-    cut_on (B,31).
-    """
+def _warp_and_sample(tiles, plan, fx, fy, th, tw, fill, method):
+    """Mosaic+mixup plane value at plane coords fx ((B|1),1,W) /
+    fy ((B|1),H,1): warp through M^-1, sample both layers, blend, round.
+    Returns (B, H, W, 3) f32."""
     import jax.numpy as jnp
 
-    oh, ow = out_hw
-    th, tw = tile_hw
     b = tiles.shape[0]
-
-    x = jnp.arange(ow, dtype=jnp.float32)[None, None, :]
-    y = jnp.arange(oh, dtype=jnp.float32)[None, :, None]
-
-    scale = plan["lbox"][:, 0][:, None, None]
-    padl = plan["lbox"][:, 1][:, None, None]
-    padt = plan["lbox"][:, 2][:, None, None]
-    pw = plan["plane_wh"][:, 0][:, None, None]
-    ph = plan["plane_wh"][:, 1][:, None, None]
-
-    # letterbox inverse: INTER_NEAREST source index floor(dst/scale).
-    # xi/fx depend only on (sample, column) and yi/fy only on (sample,
-    # row) — kept as (B,1,W)/(B,H,1) so the separable path stays per-axis.
-    xi = jnp.floor((x - padl) / scale)
-    yi = jnp.floor((y - padt) / scale)
-    valid = (xi >= 0) & (xi < pw) & (yi >= 0) & (yi < ph)
-    xi = jnp.clip(xi, 0, pw - 1)
-    yi = jnp.clip(yi, 0, ph - 1)
-
-    # flips (sample-plane mirror)
-    flip_lr = plan["flips"][:, 0][:, None, None]
-    flip_ud = plan["flips"][:, 1][:, None, None]
-    fx = jnp.where(flip_lr > 0, pw - 1 - xi, xi)  # (B, 1, W)
-    fy = jnp.where(flip_ud > 0, ph - 1 - yi, yi)  # (B, H, 1)
-
-    # warp to mosaic-canvas coords
     minv = plan["minv"]
     if method == "separable":
         # diagonal-affine: u is a per-column function, v per-row
@@ -709,8 +727,13 @@ def _render_batch(tiles, plan, out_hw, tile_hw, fill=114, lb_fill=114,
 
     # two mixup layers, blended post-sample (linear in pixel values)
     ratio = plan["mix"][:, None, None, None]
-    val = ratio * layers[0] + (1.0 - ratio) * layers[1]
-    val = jnp.round(val)
+    return jnp.round(ratio * layers[0] + (1.0 - ratio) * layers[1])
+
+
+def _pointwise_chain(val, plan, fx, fy):
+    """Cutout paint + HSV jitter at plane coords fx/fy (broadcastable to
+    (B, H, W)) — pointwise, so it commutes with the nearest letterbox."""
+    import jax.numpy as jnp
 
     # cutout paint (sample-plane coords, sequential: later mask wins)
     cr = plan["cut_rects"]
@@ -732,7 +755,169 @@ def _render_batch(tiles, plan, out_hw, tile_hw, fill=114, lb_fill=114,
     s2 = jnp.floor(jnp.clip(s * r[:, 1][:, None, None], 0, 255))
     v2 = jnp.floor(jnp.clip(vch * r[:, 2][:, None, None], 0, 255))
     rgb2 = jnp.round(_hsv_to_rgb_u8(h2, s2, v2))
-    val = jnp.where(hsv_on[..., None], rgb2, val)
+    return jnp.where(hsv_on[..., None], rgb2, val)
 
+
+def _blur5(plane, plan):
+    """5x5 normalized box filter (augment.py random_blur -> cv2.blur):
+    BORDER_REFLECT_101 at the per-sample plane edge via index arithmetic,
+    floor(sum/25 + 0.5) rounding (verified bit-exact vs cv2). Separable:
+    5 row gathers then 5 row-invariant column gathers. Applied where the
+    plan's blur draw fired."""
+    import jax.numpy as jnp
+
+    b, th, tw, _ = plane.shape
+    pw = plan["plane_wh"][:, 0:1]  # (B, 1)
+    ph = plan["plane_wh"][:, 1:2]
+
+    def refl(i, n):
+        period = jnp.maximum(2.0 * n - 2.0, 1.0)
+        j = jnp.mod(jnp.abs(i), period)
+        return jnp.where(j > n - 1, period - j, j)
+
+    y = jnp.arange(th, dtype=jnp.float32)[None, :]
+    x = jnp.arange(tw, dtype=jnp.float32)[None, :]
+    acc = 0.0
+    for dy in range(-2, 3):
+        iy = refl(y + dy, ph).astype(jnp.int32)
+        acc = acc + jnp.take_along_axis(plane, iy[:, :, None, None], axis=1)
+    acc2 = 0.0
+    for dx in range(-2, 3):
+        ix = refl(x + dx, pw).astype(jnp.int32)
+        acc2 = acc2 + jnp.take_along_axis(acc, ix[:, None, :, None], axis=2)
+    blurred = jnp.floor(acc2 / 25.0 + 0.5)
+    on = plan["blur_on"][:, None, None, None] > 0
+    return jnp.where(on, blurred, plane)
+
+
+def _stage_b(plane, plan, out_hw, lb_fill):
+    """Letterbox(nearest) <- scale_jitting(bilinear crop, augment.py
+    :scale_jitting) <- flips, composed into per-axis coordinate maps over
+    the rendered plane: 2 row gathers + 2 row-invariant column gathers.
+    cv2.resize INTER_LINEAR convention src=(dst+0.5)/s-0.5 with clamped
+    edges (within +/-1 of cv2's fixed-point, measured)."""
+    import jax.numpy as jnp
+
+    b, th, tw, _ = plane.shape
+    oh, ow = out_hw
+    scale = plan["lbox"][:, 0:1]
+    padl = plan["lbox"][:, 1:2]
+    padt = plan["lbox"][:, 2:3]
+    pw = plan["plane_wh"][:, 0:1]
+    ph = plan["plane_wh"][:, 1:2]
+    jon = plan["jit_on"][:, None]
+    jit = plan["jit"][:, None]
+    jfl = plan["jit_flip"][:, None]
+    jx = plan["jit_off"][:, 0:1]
+    jy = plan["jit_off"][:, 1:2]
+
+    def axis_coords(D, pad, n, joff, size_is_w):
+        """dst index -> (tap0, tap1, frac, valid) in true-plane coords."""
+        d = jnp.arange(D, dtype=jnp.float32)[None, :]
+        i = jnp.floor((d - pad) / scale)  # letterbox-inverse, nearest
+        valid = (i >= 0) & (i < n)
+        i = jnp.clip(i, 0, n - 1)
+        # scale_jitting inverse: crop offset, optional mirror in resized
+        # coords, then the resize's source mapping. cv2.resize uses the
+        # ACTUAL size ratio n/r (r truncated to int), not 1/jit — the
+        # ~0.5% difference is a visible subpixel drift
+        r = jnp.floor(n * jit)  # resized extent
+        c = i + joff
+        if size_is_w:  # the jitting mirror is horizontal-only
+            c = jnp.where(jfl > 0, r - 1.0 - c, c)
+        u = jnp.clip((c + 0.5) * (n / r) - 0.5, 0, n - 1)
+        u = jnp.where(jon > 0, u, i)
+        t0 = jnp.floor(u)
+        f = u - t0
+        t1 = jnp.minimum(t0 + 1.0, n - 1)
+        # normal flips happened BEFORE jitting: mirror taps last
+        fl = plan["flips"][:, 0:1] if size_is_w else plan["flips"][:, 1:2]
+        t0 = jnp.where(fl > 0, n - 1 - t0, t0)
+        t1 = jnp.where(fl > 0, n - 1 - t1, t1)
+        return t0.astype(jnp.int32), t1.astype(jnp.int32), f, valid
+
+    y0, y1, fy, vy = axis_coords(oh, padt, ph, jy, False)  # (B, H)
+    x0, x1, fx, vx = axis_coords(ow, padl, pw, jx, True)   # (B, W)
+
+    rows = (
+        jnp.take_along_axis(plane, y0[:, :, None, None], axis=1)
+        * (1.0 - fy)[:, :, None, None]
+        + jnp.take_along_axis(plane, y1[:, :, None, None], axis=1)
+        * fy[:, :, None, None]
+    )  # (B, H, tw, 3)
+    val = (
+        jnp.take_along_axis(rows, x0[:, None, :, None], axis=2)
+        * (1.0 - fx)[:, None, :, None]
+        + jnp.take_along_axis(rows, x1[:, None, :, None], axis=2)
+        * fx[:, None, :, None]
+    )  # (B, H, W, 3)
+    val = jnp.round(val)  # the host path's resize emits uint8
+
+    valid = vy[:, :, None] & vx[:, None, :]
+    out = jnp.where(valid[..., None], val, float(lb_fill))
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+def _render_batch(tiles, plan, out_hw, tile_hw, fill=114, lb_fill=114,
+                  method="gather", staged=False):
+    """Render a batch of augmentation plans to (B, H, W, 3) uint8 on device.
+
+    Pointwise mode (staged=False — no blur/scale_jitting): per output
+    pixel, the exact host chain composed in inverse: letterbox (per-
+    sample scale/pad, INTER_NEAREST) <- flips <- [cutout, HSV applied
+    forward] <- warp M^-1 <- mosaic tile gather + mixup blend. Only dst
+    pixels are ever computed.
+
+    Staged mode (blur_p / scale_jitting_p active): blur and the jitting
+    resample do not commute with the nearest letterbox, so the plane is
+    materialized at tile_hw first — stage A (warp+sample+cutout+HSV at
+    identity coords) -> _blur5 -> _stage_b (jit+flips+letterbox as
+    per-axis gathers). Requires the plane to fit tile_hw: perspective_p
+    must be 1.0 (every sample warped to input size) or mosaic off.
+
+    plan fields (all batched): minv (B,3,3), rects (B,8,4), mix (B,),
+    hsv (B,3), flips (B,2), plane_wh (B,2), lbox (B,3)
+    [scale, pad_left, pad_top], cut_rects (B,31,4), cut_colors (B,31,3),
+    cut_on (B,31), blur_on (B,), jit_on/jit/jit_flip (B,), jit_off (B,2).
+    """
+    import jax.numpy as jnp
+
+    oh, ow = out_hw
+    th, tw = tile_hw
+
+    if staged:
+        x = jnp.arange(tw, dtype=jnp.float32)[None, None, :]
+        y = jnp.arange(th, dtype=jnp.float32)[None, :, None]
+        val = _warp_and_sample(tiles, plan, x, y, th, tw, fill, method)
+        val = _pointwise_chain(val, plan, x, y)
+        val = _blur5(val, plan)
+        return _stage_b(val, plan, out_hw, lb_fill)
+
+    x = jnp.arange(ow, dtype=jnp.float32)[None, None, :]
+    y = jnp.arange(oh, dtype=jnp.float32)[None, :, None]
+
+    scale = plan["lbox"][:, 0][:, None, None]
+    padl = plan["lbox"][:, 1][:, None, None]
+    padt = plan["lbox"][:, 2][:, None, None]
+    pw = plan["plane_wh"][:, 0][:, None, None]
+    ph = plan["plane_wh"][:, 1][:, None, None]
+
+    # letterbox inverse: INTER_NEAREST source index floor(dst/scale).
+    # xi/fx depend only on (sample, column) and yi/fy only on (sample,
+    # row) — kept as (B,1,W)/(B,H,1) so the separable path stays per-axis.
+    xi = jnp.floor((x - padl) / scale)
+    yi = jnp.floor((y - padt) / scale)
+    valid = (xi >= 0) & (xi < pw) & (yi >= 0) & (yi < ph)
+    xi = jnp.clip(xi, 0, pw - 1)
+    yi = jnp.clip(yi, 0, ph - 1)
+
+    # flips (sample-plane mirror)
+    flip_lr = plan["flips"][:, 0][:, None, None]
+    flip_ud = plan["flips"][:, 1][:, None, None]
+    fx = jnp.where(flip_lr > 0, pw - 1 - xi, xi)  # (B, 1, W)
+    fy = jnp.where(flip_ud > 0, ph - 1 - yi, yi)  # (B, H, 1)
+
+    val = _warp_and_sample(tiles, plan, fx, fy, th, tw, fill, method)
+    val = _pointwise_chain(val, plan, fx, fy)
     out = jnp.where(valid[..., None], val, float(lb_fill))
     return jnp.clip(out, 0, 255).astype(jnp.uint8)

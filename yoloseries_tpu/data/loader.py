@@ -197,8 +197,10 @@ class DataLoader:
 
             if not device_aug_supported(dataset.aug):
                 raise ValueError(
-                    "device_aug has no renderer path for blur_p/"
-                    "scale_jitting_p > 0 — use the host pipeline for those"
+                    "device_aug with blur_p/scale_jitting_p > 0 needs the "
+                    "staged renderer, which requires perspective_p == 1.0 "
+                    "or mosaic_p == 0.0 (the sample plane must fit the "
+                    "input-size buffer) — use the host pipeline otherwise"
                 )
         if self.device_cache and dataset._cache is None:
             raise ValueError(

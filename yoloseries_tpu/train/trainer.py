@@ -289,7 +289,11 @@ class Trainer:
     # --------------------------------------------------------------- train
     def _device_batch(self, batch):
         if "plan" in batch:  # device_aug plan batch: render pixels on-TPU
-            from ..data.device_aug import render_batch, render_method
+            from ..data.device_aug import (
+                render_batch,
+                render_method,
+                render_staged,
+            )
 
             fill = self.train_dataset.aug.fill_value
             plan = {
@@ -306,6 +310,7 @@ class Trainer:
                 lb_fill=fill,
                 method=render_method(self.train_dataset.aug),
                 cache=self._dev_cache,
+                staged=render_staged(self.train_dataset.aug),
             )
             return {"img": img,
                     "ann": jax.device_put(batch["ann"], self.batch_shard)}
