@@ -329,6 +329,60 @@ def test_loader_surfaces_worker_errors(aug_dataset):
         loader.stop()
 
 
+def test_render_batch_sharded_8dev():
+    """The renderer under a batch-sharded 8-device mesh (the production
+    layout: plans sharded over data, dataset cache replicated) produces
+    the same pixels as the unsharded render."""
+    from conftest import run_in_clean_subprocess
+
+    run_in_clean_subprocess("""
+import numpy as np
+import jax, jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from yoloseries_tpu.parallel.mesh import make_mesh, batch_sharding, replicated
+from yoloseries_tpu.data.device_aug import render_batch, repack_tiles, N_TILES
+
+S = 64
+rng = np.random.default_rng(0)
+B = 8
+cache = rng.integers(0, 255, (4, S, S, 3), np.uint8)
+plan = {
+    "rects": np.zeros((B, N_TILES, 4), np.float32),
+    "minv": np.tile(np.eye(3, dtype=np.float32), (B, 1, 1)),
+    "mix": np.ones((B,), np.float32),
+    "hsv": np.ones((B, 3), np.float32),
+    "flips": np.zeros((B, 2), np.float32),
+    "plane_wh": np.full((B, 2), S, np.float32),
+    "cut_rects": np.zeros((B, 31, 4), np.float32),
+    "cut_colors": np.zeros((B, 31, 3), np.float32),
+    "cut_on": np.zeros((B, 31), np.float32),
+    "blur_on": rng.integers(0, 2, (B,)).astype(np.float32),
+    "jit_on": np.zeros((B,), np.float32),
+    "jit": np.ones((B,), np.float32),
+    "jit_flip": np.zeros((B,), np.float32),
+    "jit_off": np.zeros((B, 2), np.float32),
+    "img_ids": rng.integers(0, 4, (B, N_TILES)).astype(np.int32),
+    "tile_off": np.zeros((B, N_TILES, 2), np.float32),
+    "lbox": np.tile(np.asarray([1.0, 0.0, 0.0], np.float32), (B, 1)),
+}
+plan["rects"][:, 0] = (0, 0, S, S)  # single-tile plans, identity warp
+
+mesh = make_mesh()
+assert len(mesh.devices.ravel()) == 8
+ref = np.asarray(render_batch(None, plan, out_hw=(S, S), tile_hw=(S, S),
+                              method="separable", cache=jnp.asarray(cache),
+                              staged=True))
+shard = batch_sharding(mesh)
+plan_s = {k: jax.device_put(v, shard) for k, v in plan.items()}
+cache_s = jax.device_put(cache, replicated(mesh))
+out = render_batch(None, plan_s, out_hw=(S, S), tile_hw=(S, S),
+                   method="separable", cache=cache_s, staged=True)
+assert len(set(d.id for d in out.devices())) == 8
+np.testing.assert_array_equal(np.asarray(out), ref)
+print("sharded render ok")
+""")
+
+
 @pytest.mark.slow
 def test_trainer_device_aug_end_to_end(aug_dataset, tmp_path):
     """`device_aug: true` threads from hyp through Trainer: plan batches
