@@ -264,3 +264,57 @@ def load_reference_evaluator(family: str):
 
 def load_reference_v5_evaluator():
     return load_reference_evaluator("yolov5")
+
+
+_trainer_mods = {}
+
+
+def load_reference_training(family: str = "yolov5"):
+    """Import the reference's full train_<family>.py module (with stubs for
+    emoji/torchinfo/loguru/numba/thop and /root/reference on sys.path so its
+    config/loss/utils/dataset/models/trainer packages resolve for real).
+
+    The returned module's ``Training`` class is driven UNBOUND on surrogate
+    instances (``Training._init_optimizer(surrogate)`` etc.) — never
+    instantiated, since its ``__init__`` builds dataloaders/loggers. This
+    executes the reference's exact optimizer-group construction
+    (train_yolov5.py:257-281), scheduler lambdas (:152-165), and warmup
+    interpolation (:437-456) for trajectory-parity oracles.
+    """
+    if family not in _trainer_mods:
+        install_stubs()
+        for name in ("emoji", "emoji.core"):
+            if name not in sys.modules:
+                mod = types.ModuleType(name)
+                mod.emojize = lambda s, *a, **k: s
+                mod.core = mod
+                sys.modules[name] = mod
+        if "torchinfo" not in sys.modules:
+            ti = types.ModuleType("torchinfo")
+            ti.summary = lambda *a, **k: None
+            sys.modules["torchinfo"] = ti
+        if "torchvision" not in sys.modules:
+            # only transforms.Compose/ToTensor/Normalize are touched at
+            # import time (dataset/data_collater.py:11-12); the oracle never
+            # runs the collate path
+            tv = types.ModuleType("torchvision")
+            tvt = types.ModuleType("torchvision.transforms")
+            for n in ("Compose", "ToTensor", "Normalize", "Resize"):
+                setattr(tvt, n, lambda *a, **k: (lambda x: x))
+            tv.transforms = tvt
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.transforms"] = tvt
+        saved_utils = sys.modules.pop("utils", None)
+        sys.path.insert(0, str(REFERENCE))
+        try:
+            spec = importlib.util.spec_from_file_location(
+                f"_ref_train_{family}", REFERENCE / f"train_{family}.py"
+            )
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+        finally:
+            sys.path.remove(str(REFERENCE))
+            if saved_utils is not None:
+                sys.modules["utils"] = saved_utils
+        _trainer_mods[family] = mod
+    return _trainer_mods[family]

@@ -169,16 +169,20 @@ def yolov5_loss(
         iou_loss += jnp.sum((1.0 - iou_val) * maskf) / jnp.maximum(n_pos, 1.0)
 
         # ---- objectness: the reference scatters detached clamped IoU into a
-        # dense (B, H, W, A) target grid (loss/yolov5_loss.py:113-114) and
-        # BCEs the whole map; duplicate cells resolve by max. An XLA TPU
-        # scatter over millions of grid slots serializes and dominated the
-        # step-time profile, so use the exact sparse decomposition
+        # dense (B, H, W, A) target grid with plain index assignment
+        # (loss/yolov5_loss.py:114) — duplicate cells resolve LAST-write-
+        # wins in candidate order. An XLA TPU scatter over millions of grid
+        # slots serializes and dominated the step-time profile, so use the
+        # exact sparse decomposition
         #     sum bce(logit, t_grid) = sum bce(logit, 0)
         #       + sum_winners [bce(l_j, v_j) - bce(l_j, 0)]
-        # where a "winner" is the max candidate of its cell (ties: first
-        # index, matching scatter-max). The full-grid term fuses into one
-        # elementwise pass over the prediction map; the correction runs on
-        # the <=M*A*5 gathered candidates.
+        # where the "winner" of a cell is the candidate the reference would
+        # have written last: match() flattens (A, B, M) anchor-major
+        # (:159-170) then repeats 5x offset-major (:188-190), so within one
+        # image the write order is offset o outer, anchor a middle, box
+        # slot m inner — the lex-max (o, a, m) wins. The full-grid term
+        # fuses into one elementwise pass over the prediction map; the
+        # correction runs on the <=M*A*5 gathered candidates.
         iou_detached = jnp.clip(jax.lax.stop_gradient(iou_val), 0.0) * maskf
 
         def obj_term(lg, t):
@@ -194,13 +198,18 @@ def yolov5_loss(
 
         vals = iou_detached.reshape(batch_size, -1)  # (B, J)
         livef = maskf.reshape(batch_size, -1)  # (B, J)
+        # our lattice flattens (m, a, o) with o fastest; the reference's
+        # write order is (o, a, m) with o slowest — lex-max key wins
         j_ids = jnp.arange(vals.shape[1])
-        v_k, v_j = vals[:, :, None], vals[:, None, :]
+        o_k = j_ids % 5
+        a_k = (j_ids // 5) % na
+        m_k = j_ids // (5 * na)
+        order_key = (o_k * na + a_k) * num_boxes + m_k
         same = idx2[:, :, None] == idx2[:, None, :]  # (B, J, J)
         beats = (
             same
             & (livef[:, :, None] > 0)
-            & ((v_k > v_j) | ((v_k == v_j) & (j_ids[:, None] < j_ids[None, :])))
+            & (order_key[:, None] > order_key[None, :])
         )
         winner = (livef > 0) & ~jnp.any(beats, axis=1)  # (B, J)
         l_cand = cur[..., 4].reshape(batch_size, -1)  # gathered obj logits

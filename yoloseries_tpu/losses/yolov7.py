@@ -243,7 +243,11 @@ def yolov7_loss(
         # exact sparse decomposition (see losses/yolov5.py):
         #   sum bce(logit, t_grid) = sum bce(logit, 0)
         #     + sum_winners [bce(l_j, v_j) - bce(l_j, 0)]
-        # with per-cell max winners (ties: first index, matching scatter-max).
+        # where the winner is the candidate the reference's plain index
+        # assignment (loss/yolov7_loss.py:134) would write LAST: SimOTA's
+        # boolean keep preserves the v5-expansion candidate order
+        # (offset o outer, anchor a middle, box slot m inner), so the
+        # lex-max (o, a, m) among kept same-cell candidates wins.
         if cfg.use_iou_as_tar_cof:
             cof_target = jnp.clip(jax.lax.stop_gradient(iou_val), 0.0) * keepf
         else:
@@ -261,13 +265,18 @@ def yolov7_loss(
         full_sum = jnp.sum(obj_term(obj_logits, 0.0))
 
         idx_c = flat_idx.reshape(B, C)
+        # our lattice flattens (m, a, o) with o fastest; the reference's
+        # write order is (o, a, m) with o slowest — lex-max key wins
         j_ids = jnp.arange(C)
-        v_k, v_j = cof_target[:, :, None], cof_target[:, None, :]
+        o_k = j_ids % 5
+        a_k = (j_ids // 5) % na
+        m_k = j_ids // (5 * na)
+        order_key = (o_k * na + a_k) * M + m_k
         same = idx_c[:, :, None] == idx_c[:, None, :]
         beats = (
             same
             & (keepf[:, :, None] > 0)
-            & ((v_k > v_j) | ((v_k == v_j) & (j_ids[:, None] < j_ids[None, :])))
+            & (order_key[:, None] > order_key[None, :])
         )
         winner = (keepf > 0) & ~jnp.any(beats, axis=1)  # (B, C)
         l_cand = cur_flat[..., 4]  # (B, C) gathered obj logits

@@ -26,7 +26,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..nn.layers import KAIMING, upsample2x
+from ..nn.layers import KAIMING, TorchBatchNorm, upsample2x
 
 __all__ = ["RetinaNet", "ResNetBackbone"]
 
@@ -54,7 +54,7 @@ class BottleneckBlock(nn.Module):
             # eps 1e-3 / torch momentum 0.03: RetinaNet._init_weights
             # rewrites EVERY BatchNorm2d to these values
             # (models/normal/retinanet.py:38-41)
-            return nn.BatchNorm(
+            return TorchBatchNorm(
                 use_running_average=not train, momentum=0.97, epsilon=1e-3,
                 dtype=self.dtype, name=name,
             )
@@ -97,7 +97,7 @@ class ResNetBackbone(nn.Module):
         x = nn.Conv(self.inplane, (7, 7), strides=(2, 2), padding=3,
                     use_bias=False, kernel_init=KAIMING, dtype=self.dtype,
                     name="stem_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+        x = TorchBatchNorm(use_running_average=not train, momentum=0.97,
                          epsilon=1e-3, dtype=self.dtype, name="stem_bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

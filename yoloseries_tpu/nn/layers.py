@@ -4,9 +4,10 @@ Rebuilds the reference layer vocabulary (utils/layer_tools.py) TPU-first:
 
 * NHWC everywhere (XLA:TPU's native conv layout),
 * BatchNorm carried as flax batch_stats collections (eps 1e-3; torch
-  momentum 0.03 == flax momentum 0.97), per-replica under data parallelism
-  with an explicit pre-eval pmean sync (matching utils/allreduce_norm.py
-  semantics rather than sync-BN),
+  momentum 0.03 == flax momentum 0.97), with TORCH accumulation semantics
+  (unbiased running var — see TorchBatchNorm), per-replica under data
+  parallelism with an explicit pre-eval pmean sync (matching
+  utils/allreduce_norm.py semantics rather than sync-BN),
 * a ``dtype`` knob for bfloat16 compute with float32 params/stats,
 * RepConv carries its 3 train-time branches; the reparam fold to a single
   conv is a pure pytree-to-pytree transform (`fold_repconv`, export path),
@@ -27,6 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 __all__ = [
+    "TorchBatchNorm",
     "ConvBnAct",
     "BasicBottleneck",
     "BottleneckCSP",
@@ -72,6 +74,59 @@ def max_pool_same(x: jnp.ndarray, kernel: int) -> jnp.ndarray:
     )
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch.nn.BatchNorm2d ACCUMULATION semantics.
+
+    Differs from flax nn.BatchNorm in exactly one way: the running variance
+    accumulates the UNBIASED batch variance (Bessel n/(n-1) correction,
+    pytorch _BatchNorm convention) while normalization itself still uses the
+    biased variance — flax accumulates the biased one. The drift is n/(n-1)
+    per update on the var leaves (≈6% at a 3x3 deep-stage grid with B=2);
+    caught by tests/test_trajectory_oracle.py batch_stats parity and it
+    matters for torch-checkpoint round trips (utils/torch_import.py).
+
+    ``momentum`` follows the FLAX convention (running-average decay; torch
+    momentum 0.03 == 0.97 here) so call sites read like nn.BatchNorm.
+    Collections/param names match flax ('batch_stats' mean/var, params
+    scale/bias) — checkpoint- and fold_conv_bn-compatible.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.97
+    epsilon: float = 1e-3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            # fast variance (mean of squares), like flax's default; stats
+            # sit near 0-mean activations so cancellation is benign
+            var = jnp.maximum(jnp.mean(jnp.square(xf), axes) - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                n = x.size // feat
+                bessel = n / max(n - 1, 1)
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * (var * bessel)
+        mul = scale * jax.lax.rsqrt(var + self.epsilon)
+        shift = bias - mean * mul
+        return x * mul.astype(self.dtype) + shift.astype(self.dtype)
+
+
 class ConvBnAct(nn.Module):
     """Conv (no bias) + BatchNorm(eps 1e-3, torch-momentum 0.03) + SiLU."""
 
@@ -97,7 +152,7 @@ class ConvBnAct(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train,
             momentum=0.97,
             epsilon=1e-3,
@@ -205,7 +260,7 @@ class BottleneckCSP(nn.Module):
             name="cv_mid",
         )(y1)
         y = jnp.concatenate([y1, y2], axis=-1)
-        y = nn.BatchNorm(
+        y = TorchBatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-5,
             dtype=self.dtype, name="bn",
         )(y)
@@ -255,7 +310,7 @@ class SEBottleneckCSP(nn.Module):
         )(y1)
         y = jnp.concatenate([y1, y2], axis=-1)
         y = SqueezeExcitation(dtype=self.dtype, name="se")(y)
-        y = nn.BatchNorm(
+        y = TorchBatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-5,
             dtype=self.dtype, name="bn",
         )(y)
@@ -351,7 +406,10 @@ class RepConv(nn.Module):
     """Train-time 3-branch RepVGG conv (3x3 + 1x1 + optional identity BN),
     SiLU activation (utils/layer_tools.py:314-416).
 
-    Deploy-time reparameterization is `fold_repconv` over the params pytree.
+    ``deploy=True`` is the reparameterized single-conv form the reference's
+    ``switch_to_deploy`` (:390-416) produces: one biased ``rbr_reparam``
+    conv whose (kernel, bias) come from ``fold_repconv`` /
+    ``fold_repconv_params`` over the 3-branch params pytree.
     """
 
     out_channels: int
@@ -359,6 +417,7 @@ class RepConv(nn.Module):
     stride: int = 1
     groups: int = 1
     act: bool = True
+    deploy: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -367,6 +426,16 @@ class RepConv(nn.Module):
         pad = autopad(self.kernel, None)
         identity_ok = in_ch == self.out_channels and self.stride == 1
 
+        if self.deploy:
+            y = nn.Conv(
+                self.out_channels, (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=((pad, pad), (pad, pad)),
+                feature_group_count=self.groups, use_bias=True,
+                kernel_init=KAIMING, dtype=self.dtype, name="rbr_reparam",
+            )(x)
+            return nn.silu(y) if self.act else y
+
         dense = nn.Conv(
             self.out_channels, (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
@@ -374,7 +443,7 @@ class RepConv(nn.Module):
             feature_group_count=self.groups, use_bias=False,
             kernel_init=KAIMING, dtype=self.dtype, name="rbr_dense_conv",
         )(x)
-        dense = nn.BatchNorm(
+        dense = TorchBatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-3,
             dtype=self.dtype, name="rbr_dense_bn",
         )(dense)
@@ -384,14 +453,14 @@ class RepConv(nn.Module):
             padding="VALID", feature_group_count=self.groups, use_bias=False,
             kernel_init=KAIMING, dtype=self.dtype, name="rbr_1x1_conv",
         )(x)
-        one = nn.BatchNorm(
+        one = TorchBatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-3,
             dtype=self.dtype, name="rbr_1x1_bn",
         )(one)
 
         y = dense + one
         if identity_ok:
-            ident = nn.BatchNorm(
+            ident = TorchBatchNorm(
                 use_running_average=not train, momentum=0.97, epsilon=1e-3,
                 dtype=self.dtype, name="rbr_identity_bn",
             )(x)

@@ -44,6 +44,10 @@ class OptimizerConfig:
     warmup_bias_max_lr: float = 0.1
     warmup_momentum: float = 0.8
     clip_grad_norm: float = 10.0
+    # exact warmup length in optimizer updates; None -> the reference's
+    # max(warmup_epochs * steps_per_epoch, 1000) floor (train_yolov5.py:94).
+    # Used by tests/short runs to exercise ramps shorter than the floor.
+    warmup_steps_override: int | None = None
 
     @property
     def lr(self) -> float:
@@ -53,6 +57,8 @@ class OptimizerConfig:
     def warmup_steps(self) -> int:
         if not self.do_warmup:
             return 0
+        if self.warmup_steps_override is not None:
+            return self.warmup_steps_override
         return max(self.warmup_epochs * self.steps_per_epoch, 1000)
 
 
@@ -79,13 +85,30 @@ def _group_schedule(cfg: OptimizerConfig, warmup_start: float):
     """iteration -> lr, with warmup interp then epoch-factor decay."""
 
     def schedule(step):
+        # optax counts applied updates from 0; the reference's step_in_total
+        # starts at 1 (train_yolov5.py:318, 324) — shift so the warmup
+        # interp and the `t < warmup_steps` gate match it exactly. The
+        # epoch factor keeps the raw count: during the reference's epoch e
+        # the updates are t in [e*S+1, (e+1)*S] -> floor((t-1)/S) = e.
         step = jnp.asarray(step, jnp.float32)
         epoch = jnp.floor(step / cfg.steps_per_epoch)
         base = cfg.lr * lr_schedule_factor(cfg, epoch)
-        if cfg.warmup_steps > 0:
-            frac = jnp.clip(step / cfg.warmup_steps, 0.0, 1.0)
+        w = float(cfg.warmup_steps)
+        if w > 0:
+            t = step + 1.0
+            # The reference warmup WRITES param_group['lr'] at each t < W
+            # (train_yolov5.py:438-453) and nothing rewrites it until the
+            # next epoch-boundary scheduler.step() — so after warmup ends
+            # mid-epoch, the value written at t = W-1 HOLDS for the rest of
+            # that epoch (for the bias group that held value is far above
+            # base lr). Model the write log: clamp the interp at W-1, and
+            # keep the warmup value while the last warmup write (update
+            # W-1) is more recent than the last epoch boundary (S*epoch).
+            t_eff = jnp.minimum(t, w - 1.0)
+            frac = jnp.clip(t_eff / w, 0.0, 1.0)
             warm = warmup_start + (cfg.lr - warmup_start) * frac
-            return jnp.where(step < cfg.warmup_steps, warm, base)
+            live = (t < w) | ((w - 1.0) > cfg.steps_per_epoch * epoch)
+            return jnp.where(live, warm, base)
         return base
 
     return schedule
@@ -94,8 +117,17 @@ def _group_schedule(cfg: OptimizerConfig, warmup_start: float):
 def _momentum_schedule(cfg: OptimizerConfig):
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
-        if cfg.warmup_steps > 0:
-            frac = jnp.clip(step / cfg.warmup_steps, 0.0, 1.0)
+        w = float(cfg.warmup_steps)
+        if w >= 2:
+            # the reference writes group momentum only during warmup
+            # (train_yolov5.py:454-456) and NOTHING ever rewrites it after —
+            # the value written at t = W-1 holds for the rest of training
+            # (a permanent (momentum - warmup_momentum)/W deficit). Clamp
+            # the interp at W-1. W < 2 means no write ever happens (the
+            # t < W gate with t starting at 1) -> constructor momentum.
+            t = step + 1.0  # reference step_in_total starts at 1
+            t_eff = jnp.minimum(t, w - 1.0)
+            frac = jnp.clip(t_eff / w, 0.0, 1.0)
             return cfg.warmup_momentum + (cfg.momentum - cfg.warmup_momentum) * frac
         return jnp.asarray(cfg.momentum)
 
@@ -108,8 +140,16 @@ def param_group_label(path: tuple, value: Any) -> str:
     flax naming: BatchNorm has 'scale'/'bias'; Conv/Dense have
     'kernel'/'bias'; custom scalars (Scale/Implicit*) go to 'weight'
     like the reference's catch-all (train_yolov5.py:260-267).
+
+    ``path`` entries may be jax key objects (DictKey from
+    tree_map_with_path) or plain strings. NB: str(DictKey('bias')) is
+    "['bias']", NOT "bias" — unwrap .key first (a straight str() here
+    silently sent every param to the catch-all 'weight' group, erasing
+    the bias-warmup/no-decay group structure; caught by
+    tests/test_trajectory_oracle.py).
     """
-    leaf = str(path[-1])
+    last = path[-1]
+    leaf = str(getattr(last, "key", last))
     if leaf == "bias":
         return "bias"
     if leaf == "scale":

@@ -89,7 +89,13 @@ def convert_yolov5_state_dict(state_dict, num_class: int):
     stats: dict = {}
 
     def as_np(v):
-        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        # np.array(copy=True): .numpy() SHARES storage with the live torch
+        # tensor — a view here lets later in-place torch training mutate
+        # the "converted" tree (bit the trajectory oracle)
+        return np.array(
+            v.detach().cpu().numpy() if hasattr(v, "detach") else v,
+            copy=True,
+        )
 
     for name, value in state_dict.items():
         if name.endswith("num_batches_tracked"):
@@ -148,7 +154,11 @@ def convert_yolov5_state_dict(state_dict, num_class: int):
 # --------------------------------------------------------------- shared bits
 
 def _as_np(v):
-    return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+    # np.array(copy=True): .numpy() SHARES storage with the live torch
+    # tensor — a view here lets later in-place torch training mutate
+    # the "converted" tree (bit the trajectory oracle)
+    return np.array(v.detach().cpu().numpy() if hasattr(v, "detach") else v,
+                    copy=True)
 
 
 def _kernel(v):
