@@ -13,7 +13,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from yoloseries_tpu.kernels.nms_matrix import pallas_matrix_nms
+from yoloseries_tpu.kernels.nms_matrix import (
+    pallas_matrix_nms,
+    pallas_matrix_nms_chunked,
+)
 from yoloseries_tpu.ops.nms import greedy_nms
 
 
@@ -54,6 +57,57 @@ def test_matrix_nms_matches_greedy(rng, b, k, shuffle):
             np.where(np.asarray(kv_ref), np.asarray(ki_ref), -1),
             np.where(np.asarray(kv), np.asarray(ki), -1),
         )
+
+
+@pytest.mark.parametrize(
+    "b,k,shuffle,chunk", [
+        (2, 4096, False, 1024),   # the certified eval-protocol shape
+        (2, 4096, True, 1024),    # unsorted (TTA concatenation) input
+        (1, 2500, True, 1024),    # K not a multiple of the strip width
+        (4, 1024, True, 256),     # many small strips, heavy carry traffic
+    ]
+)
+def test_chunked_matrix_nms_matches_greedy(rng, b, k, shuffle, chunk):
+    """Strip-tiled large-K path (the K>1024 dispatch in nms_candidates):
+    keep set AND keep order must be index-exact vs sequential greedy."""
+    boxes, scores = make_candidates(rng, b, k, shuffle)
+    for max_keep in (50, 300):
+        ki_ref, kv_ref = jax.vmap(
+            lambda bb, ss: greedy_nms(bb, ss, 0.5, max_keep)
+        )(boxes, scores)
+        ki, kv = pallas_matrix_nms_chunked(
+            boxes, scores, 0.5, max_keep=max_keep, chunk=chunk,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.where(np.asarray(kv_ref), np.asarray(ki_ref), -1),
+            np.where(np.asarray(kv), np.asarray(ki), -1),
+        )
+
+
+def test_chunked_matrix_nms_dense_cluster(rng):
+    """Deep suppression chains that cross strip boundaries: every candidate
+    clusters around 6 hot spots so strip-1+ candidates are mostly killed by
+    carried keepers, and ties span strips."""
+    b, k = 2, 2048
+    hot = rng.uniform(100, 500, (b, 6, 2)).astype(np.float32)
+    pick = rng.integers(0, 6, (b, k))
+    xy = (hot[np.arange(b)[:, None], pick]
+          + rng.normal(0, 8, (b, k, 2))).astype(np.float32)
+    wh = rng.uniform(20, 60, (b, k, 2)).astype(np.float32)
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+    scores = rng.uniform(0.01, 1, (b, k)).astype(np.float32)
+    scores[:, 1000:1060] = scores[:, 1000:1001]  # tie plateau across strips
+    scores = jnp.asarray(scores)
+    ki_ref, kv_ref = jax.vmap(
+        lambda bb, ss: greedy_nms(bb, ss, 0.5, 300)
+    )(boxes, scores)
+    ki, kv = pallas_matrix_nms_chunked(boxes, scores, 0.5, max_keep=300,
+                                       chunk=1024, interpret=True)
+    np.testing.assert_array_equal(
+        np.where(np.asarray(kv_ref), np.asarray(ki_ref), -1),
+        np.where(np.asarray(kv), np.asarray(ki), -1),
+    )
 
 
 def test_matrix_nms_all_dead(rng):

@@ -265,6 +265,17 @@ def nms_candidates(
                 keep_idx, keep_valid = pallas_matrix_nms(
                     boxes_off, score_k, iou_threshold, max_keep=max_keep
                 )
+            elif k_n > 1024:
+                # large-K regime (the certified 4096-candidate eval
+                # protocol): priority-sorted 1024-wide strips through the
+                # matrix kernel with carried keeper kills — exact greedy,
+                # strips x chain-depth rounds instead of max_keep
+                # sequential rounds over all K lanes
+                from ..kernels.nms_matrix import pallas_matrix_nms_chunked
+
+                keep_idx, keep_valid = pallas_matrix_nms_chunked(
+                    boxes_off, score_k, iou_threshold, max_keep=max_keep
+                )
             else:
                 from ..kernels.nms_pallas import pallas_greedy_nms
 
