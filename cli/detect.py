@@ -103,11 +103,24 @@ def main():
     if state.ema_batch_stats:
         variables["batch_stats"] = state.ema_batch_stats
     if args.fuse and state.ema_batch_stats:
-        from yoloseries_tpu.nn.deploy import fold_conv_bn
+        from yoloseries_tpu.nn.deploy import fold_conv_bn, fold_repconv
 
         params_f, stats_f = fold_conv_bn(
             variables["params"], variables["batch_stats"]
         )
+        if family.name == "yolov7":
+            # RepConv reparam (reference fuseforward before inference,
+            # models/normal/yolov7.py:461-464): 3 branches -> one biased
+            # 3x3 conv; rebuild the model in deploy mode to match the
+            # reparameterized param tree
+            params_f, stats_f = fold_repconv(params_f, stats_f)
+            model = create_model(args.model, num_class=num_class,
+                                 dtype=dtype, deploy=True, **model_kw)
+            evaluator = Evaluator(
+                model.apply, decode_fn, eval_cfg,
+                select_fn=select_builder(eval_cfg) if select_builder else None,
+            )
+            print("reparameterized RepConv branches for deploy")
         variables = {"params": params_f, "batch_stats": stats_f}
         print("fused conv+bn for deploy (BN running stats absorbed into "
               "conv kernels; detections are bit-identical, see "

@@ -87,6 +87,42 @@ def _sorted_pair(out_dense, out_fused):
         np.testing.assert_allclose(d, f, rtol=1e-5, atol=1e-4)
 
 
+def test_fused_matches_dense_yolov7_gate():
+    """yolov7 candidate gate: obj*cls >= conf_thr, non-strict
+    (trainer/eval_yolov7.py:221,240) — not v5's obj >= conf_thr. Fused and
+    dense paths must agree under thresholds where the two gates actually
+    differ (cls_thr < conf_thr), and the v7 gate must provably change the
+    candidate set vs the v5 gate on the same predictions."""
+    preds = make_preds(seed=13)
+    anchors = jnp.asarray(YOLOV5_ANCHORS)
+    conf, cls_thr, iou, k, max_keep = 0.25, 0.05, 0.45, 64, 32
+
+    dense = decode_yolov5(preds, anchors)
+    out_dense = postprocess_detections(
+        dense, conf_threshold=conf, cls_threshold=cls_thr, iou_threshold=iou,
+        num_candidates=k, max_keep=max_keep, merge_boxes=True, conf_gate="v7",
+    )
+    boxes, scores, cls_ids = decode_topk_yolov5(
+        preds, anchors, k=k, conf_threshold=conf, cls_threshold=cls_thr,
+        conf_gate="v7",
+    )
+    out_fused = nms_candidates(boxes, scores, cls_ids, iou_threshold=iou,
+                               max_keep=max_keep, merge_boxes=True)
+    _sorted_pair(np.asarray(out_dense), np.asarray(out_fused))
+
+    # sanity: at these thresholds the v5 gate admits rows the v7 gate
+    # rejects (obj >= conf but obj*cls_max < conf) — i.e. the fixture
+    # actually exercises the gate difference, so this test would catch a
+    # v7 path silently using the v5 gate. Checked at the candidate-mask
+    # level (post-NMS counts saturate at max_keep for both gates).
+    d = np.asarray(dense)
+    obj = d[..., 4]
+    prod = obj * d[..., 5:].max(-1)
+    mask_v5 = (obj >= conf) & (prod > cls_thr)
+    mask_v7 = (prod >= conf) & (prod >= cls_thr)
+    assert (mask_v5 & ~mask_v7).sum() > 0, "fixture never separates the gates"
+
+
 def test_fused_matches_dense_yolox():
     from yoloseries_tpu.evaluation import decode_topk_yolox, decode_yolox
 

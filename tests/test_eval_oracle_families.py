@@ -135,13 +135,16 @@ def _run(ref_eval, our_eval, variables, size, seed, batch=2):
     return ref_dets, our_dets
 
 
-def _our_evaluator(family, model, hyp, nc, size, cfg):
+def _our_evaluator(family, model, hyp, nc, size, cfg, fused=False):
     from yoloseries_tpu.evaluation import Evaluator
     from yoloseries_tpu.families import get_family
 
     fam = get_family(family)
     decode_fn = fam.make_decode(hyp, nc, (size, size))
-    return Evaluator(model.apply, decode_fn, cfg)
+    select_fn = None
+    if fused and fam.make_select is not None:
+        select_fn = fam.make_select(hyp, nc, (size, size))(cfg)
+    return Evaluator(model.apply, decode_fn, cfg, select_fn=select_fn)
 
 
 def _perturb_yolox_heads(ref_model, boost=1.06):
@@ -216,6 +219,87 @@ def test_e2e_eval_parity_yolox_tta():
     ours = _our_evaluator("yolox", model, hyp, nc, size,
                           make_eval_cfg("yolox", hyp, use_tta=True))
     _run(ref_eval, ours, {"params": params, "batch_stats": stats}, size, 29)
+
+
+def _make_yolov7_pair(nc, size, seed, use_tta=False):
+    import torch
+
+    from yoloseries_tpu.models import create_model
+    from yoloseries_tpu.ops import YOLOV5_ANCHORS
+    from yoloseries_tpu.utils.torch_import import convert_yolov7_state_dict
+
+    torch.manual_seed(seed)
+    ref_model = load_reference_model("yolov7")(
+        num_anchor=3, num_class=nc, in_channel=3
+    ).eval()
+    params, stats = convert_yolov7_state_dict(ref_model.state_dict(), nc)
+    # v7-specific protocol knobs: the post-NMS small-box filter
+    # (trainer/eval_yolov7.py:276) must be live, not 0
+    hyp = protocol_hyp(nc, size, use_tta=use_tta, min_prediction_box_wh=2)
+    anchors_t = torch.tensor(np.asarray(YOLOV5_ANCHORS, np.float32))
+    ref_eval = load_reference_evaluator("yolov7")(
+        ref_model, anchors_t, hyp, compute_metric=True
+    )
+    model = create_model("yolov7", num_class=nc)
+    return ref_model, ref_eval, model, params, stats, hyp
+
+
+def test_e2e_eval_parity_yolov7():
+    """v7 end-to-end: in-model permute (models/normal/yolov7.py:339-406) →
+    obj*cls candidate gate (trainer/eval_yolov7.py:221) → class-offset NMS →
+    supporter merge → small-box filter (:276)."""
+    nc, size = 6, 160
+    ref_model, ref_eval, model, params, stats, hyp = _make_yolov7_pair(
+        nc, size, seed=43
+    )
+    cfg = make_eval_cfg("yolov7", hyp)
+    assert cfg.conf_gate == "v7" and cfg.min_box_wh == 2.0
+    ours = _our_evaluator("yolov7", model, hyp, nc, size, cfg)
+    _run(ref_eval, ours, {"params": params, "batch_stats": stats}, size, 43)
+
+
+def test_e2e_eval_parity_yolov7_tta():
+    """v7 TTA branch: same xywh scale/flip unmapping as v5
+    (trainer/eval_yolov7.py:216-221)."""
+    nc, size = 6, 160
+    _, ref_eval, model, params, stats, hyp = _make_yolov7_pair(
+        nc, size, seed=47, use_tta=True
+    )
+    cfg = make_eval_cfg("yolov7", hyp, use_tta=True)
+    ours = _our_evaluator("yolov7", model, hyp, nc, size, cfg)
+    _run(ref_eval, ours, {"params": params, "batch_stats": stats}, size, 47)
+
+
+def test_e2e_eval_parity_yolov7_fused_deploy():
+    """Deploy path: reference fuseforward (conv+BN fuse + RepConv reparam,
+    models/normal/yolov7.py:460-464) vs our fold_conv_bn + fold_repconv on
+    a deploy=True model — detections must STILL match the executed
+    reference end to end, through the fused-select candidate path."""
+    import torch
+
+    from yoloseries_tpu.models import create_model
+    from yoloseries_tpu.nn.deploy import fold_conv_bn, fold_repconv
+
+    # seed 43 = the non-fused parity fixture; seed 53 yields a dead fixture
+    # (no candidate clears the 1e-3 protocol gate, ref emits 0 detections)
+    nc, size = 6, 160
+    ref_model, _, _, params, stats, hyp = _make_yolov7_pair(nc, size, seed=43)
+
+    from yoloseries_tpu.ops import YOLOV5_ANCHORS
+
+    anchors_t = torch.tensor(np.asarray(YOLOV5_ANCHORS, np.float32))
+    ref_fused = ref_model.fuseforward().eval()
+    ref_eval = load_reference_evaluator("yolov7")(
+        ref_fused, anchors_t, hyp, compute_metric=True
+    )
+
+    params_f, stats_f = fold_conv_bn(params, stats)
+    params_f, stats_f = fold_repconv(params_f, stats_f)
+    model = create_model("yolov7", num_class=nc, deploy=True)
+    cfg = make_eval_cfg("yolov7", hyp)
+    ours = _our_evaluator("yolov7", model, hyp, nc, size, cfg, fused=True)
+    _run(ref_eval, ours, {"params": params_f, "batch_stats": stats_f},
+         size, 43)
 
 
 def test_e2e_eval_parity_yolov8():

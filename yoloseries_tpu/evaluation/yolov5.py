@@ -58,7 +58,7 @@ def decode_yolov5(stage_preds, anchors, strides=(8, 16, 32),
 
 def decode_topk_yolov5(stage_preds, anchors, k, conf_threshold,
                        cls_threshold, strides=(8, 16, 32),
-                       dtype=jnp.float32):
+                       dtype=jnp.float32, conf_gate="v5"):
     """Fused candidate selection + sparse decode for the serving path.
 
     :func:`decode_yolov5` materializes the dense (B, N, 5+nc) decoded tensor
@@ -95,7 +95,11 @@ def decode_topk_yolov5(stage_preds, anchors, k, conf_threshold,
         obj = jax.nn.sigmoid(p[..., 4])
         cls_logit = p[..., 5:]
         cls_conf = obj * jax.nn.sigmoid(jnp.max(cls_logit, axis=-1))
-        valid = (obj >= conf_threshold) & (cls_conf > cls_threshold)
+        if conf_gate == "v7":
+            # v7 gates on the product, non-strict (eval_yolov7.py:221,240)
+            valid = (cls_conf >= conf_threshold) & (cls_conf >= cls_threshold)
+        else:
+            valid = (obj >= conf_threshold) & (cls_conf > cls_threshold)
         stage_scores.append(jnp.where(valid, cls_conf, 0.0).astype(jnp.float32))
         stage_rows.append(p)
 
@@ -191,6 +195,10 @@ class EvalConfig:
     # the reference gates the merge refinement on the pre-NMS candidate
     # count `1 < n < 3000` (eval_yolov5.py:307; fcos `<= 300` -> 301)
     merge_gate_max: int = 3000
+    # candidate confidence gate: "v5" = obj >= conf then obj*cls > cls_thr
+    # (eval_yolov5.py:266,285 — also yolox/v8/retinanet/fcos); "v7" =
+    # obj*cls >= conf then obj*cls >= cls_thr (eval_yolov7.py:221,240)
+    conf_gate: str = "v5"
 
 
 class Evaluator:
@@ -253,6 +261,7 @@ class Evaluator:
             nms_mode=self.cfg.nms_mode,
             merge_write_boxes=self.cfg.merge_write_boxes,
             merge_gate_max=self.cfg.merge_gate_max,
+            conf_gate=self.cfg.conf_gate,
         )
         return self._finalize(out)
 

@@ -247,16 +247,20 @@ def _yolov7_family():
                 k=eval_cfg.num_candidates,
                 conf_threshold=eval_cfg.conf_threshold,
                 cls_threshold=eval_cfg.cls_threshold,
+                conf_gate=eval_cfg.conf_gate,
             )
 
         return builder
 
     # trainer/eval_yolov7.py:276: post-NMS small-box filter (v7 and fcos
-    # are the only reference evaluators that apply remove_small_boxes)
+    # are the only reference evaluators that apply remove_small_boxes);
+    # :221,240: v7 gates candidates on obj*cls (not obj alone, and
+    # non-strict) — conf_gate="v7"
     return Family(
         "yolov7", make_loss, make_decode, make_select,
         eval_overrides=lambda hyp: {
             "min_box_wh": float(hyp.get("min_prediction_box_wh", 0.0)),
+            "conf_gate": "v7",
         },
     )
 

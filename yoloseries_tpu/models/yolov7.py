@@ -121,6 +121,10 @@ class YOLOv7(nn.Module):
     # per-ELAN-block activation remat (same params/grads; frees HBM —
     # v7@640 holds the largest activations of the six families)
     remat: bool = False
+    # reparameterized RepConv outputs (reference fuseforward,
+    # models/normal/yolov7.py:460-464); params come from
+    # nn.deploy.fold_repconv over a trained 3-branch tree
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
@@ -172,9 +176,12 @@ class YOLOv7(nn.Module):
         )
 
         outs_feats = [
-            RepConv(256, dtype=self.dtype, name="rep_s")(e2, train),
-            RepConv(512, dtype=self.dtype, name="rep_m")(e3, train),
-            RepConv(1024, dtype=self.dtype, name="rep_l")(e4, train),
+            RepConv(256, deploy=self.deploy, dtype=self.dtype,
+                    name="rep_s")(e2, train),
+            RepConv(512, deploy=self.deploy, dtype=self.dtype,
+                    name="rep_m")(e3, train),
+            RepConv(1024, deploy=self.deploy, dtype=self.dtype,
+                    name="rep_l")(e4, train),
         ]
 
         outs = []

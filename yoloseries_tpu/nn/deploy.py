@@ -21,6 +21,7 @@ import numpy as np
 
 __all__ = [
     "fold_conv_bn",
+    "fold_repconv",
     "fold_repconv_params",
     "fold_stem_to_s2d",
     "fold_stem_from_s2d",
@@ -138,6 +139,48 @@ def fold_repconv_params(rep_params, rep_stats, eps=1e-3):
         kernel = kernel + ki
         bias = bias + bi
     return kernel, bias
+
+
+def fold_repconv(params, batch_stats, eps=1e-3):
+    """Reparameterize every RepConv in the tree for ``deploy=True`` modules.
+
+    Walks the params tree; every module dict holding the 3-branch RepConv
+    parameter layout (``rbr_dense_conv`` + ``rbr_1x1_conv``) is replaced by
+    ``{"rbr_reparam": {"kernel", "bias"}}`` — the single biased conv the
+    deploy-mode RepConv expects — and its BN running stats are removed. The
+    reference's in-place ``switch_to_deploy`` (utils/layer_tools.py:390-416,
+    invoked from YOLOV7Baseline.fuseforward, models/normal/yolov7.py:460-464)
+    expressed as a pytree transform.
+
+    Returns (new_params, new_batch_stats) for a model built with
+    ``deploy=True`` (e.g. ``YOLOv7(..., deploy=True)``).
+    """
+
+    def walk(p, s):
+        if not isinstance(p, dict):
+            return p, s
+        if "rbr_dense_conv" in p and "rbr_1x1_conv" in p:
+            kernel, bias = fold_repconv_params(p, s, eps)
+            return {"rbr_reparam": {"kernel": kernel, "bias": bias}}, None
+        new_p, new_s = {}, {}
+        for key, val in p.items():
+            sub_s = s.get(key, {}) if isinstance(s, dict) else {}
+            np_, ns_ = walk(val, sub_s)
+            new_p[key] = np_
+            if ns_ is not None and ns_ != {}:
+                new_s[key] = ns_
+        # keep stats subtrees with no params sibling untouched (BN running
+        # stats live under the same module names but their mean/var leaves
+        # have no params counterpart)
+        if isinstance(s, dict):
+            for key, val in s.items():
+                if key not in new_s and key not in p:
+                    new_s[key] = val
+        return new_p, new_s
+
+    new_params, new_stats = walk(dict(params),
+                                 dict(batch_stats) if batch_stats else {})
+    return new_params, new_stats
 
 
 def stem_kernel_to_s2d(k6: jnp.ndarray) -> jnp.ndarray:

@@ -138,7 +138,7 @@ def select_topk_candidates(boxes, scores, classes, k):
     static_argnames=(
         "num_candidates", "max_keep", "class_aware", "merge_boxes",
         "use_pallas", "multi_label", "nms_mode", "merge_write_boxes",
-        "merge_gate_max",
+        "merge_gate_max", "conf_gate",
     ),
 )
 def postprocess_detections(
@@ -155,6 +155,7 @@ def postprocess_detections(
     nms_mode="greedy",
     merge_write_boxes=False,
     merge_gate_max=3000,
+    conf_gate="v5",
 ):
     """Full postprocess: (N, 5+nc) or (B, N, 5+nc) decoded preds ->
     (..., max_keep, 6).
@@ -169,6 +170,14 @@ def postprocess_detections(
     single-label mode (mutil_label: false), conf = obj * cls_conf, class-aware
     offset, greedy NMS, optional IoU-weighted box merge that drops keepers
     with < 2 supporters.
+
+    ``conf_gate`` selects the family's candidate gate:
+    * "v5": ``obj >= conf_thr`` then ``obj*cls_max > cls_thr`` (strict;
+      trainer/eval_yolov5.py:266, 285) — also yolox/v8/retinanet/fcos,
+    * "v7": ``obj*cls_max >= conf_thr`` then ``obj*cls_max >= cls_thr``
+      (non-strict; trainer/eval_yolov7.py:221, 240). Differs from v5
+      whenever cls_thr < conf_thr (a row with obj >= conf_thr but
+      obj*cls_max < conf_thr passes v5 and fails v7).
     """
     single = pred.ndim == 2
     if single:
@@ -187,7 +196,11 @@ def postprocess_detections(
         # (box, class) pair above threshold is its own candidate. Dense
         # form: top-K over the flattened (N * nc) score matrix.
         b, n, nc = cls_probs.shape
-        valid = (obj[..., None] >= conf_threshold) & (cls_probs >= cls_threshold)
+        if conf_gate == "v7":
+            row_ok = jnp.max(cls_probs, axis=-1) >= conf_threshold
+        else:
+            row_ok = obj >= conf_threshold
+        valid = row_ok[..., None] & (cls_probs >= cls_threshold)
         flat = jnp.where(valid, cls_probs, 0.0).reshape(b, n * nc)
         k = min(num_candidates, n * nc)
         score_k, fidx = jax.lax.top_k(flat, k)
@@ -197,7 +210,10 @@ def postprocess_detections(
     else:
         cls_conf = jnp.max(cls_probs, axis=-1)
         cls_id = jnp.argmax(cls_probs, axis=-1).astype(jnp.float32)
-        valid = (obj >= conf_threshold) & (cls_conf > cls_threshold)
+        if conf_gate == "v7":
+            valid = (cls_conf >= conf_threshold) & (cls_conf >= cls_threshold)
+        else:
+            valid = (obj >= conf_threshold) & (cls_conf > cls_threshold)
         score = jnp.where(valid, cls_conf, 0.0)  # (B, N)
         k = min(num_candidates, score.shape[-1])
         score_k, idx = jax.lax.top_k(score, k)  # (B, K)
