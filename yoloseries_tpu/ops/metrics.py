@@ -84,6 +84,27 @@ def _smooth(y: np.ndarray, f: float = 0.05) -> np.ndarray:
     return np.convolve(yp, np.ones(nf) / nf, mode="valid")
 
 
+def _allgather_varlen(arr: np.ndarray, mhu) -> np.ndarray:
+    """All-gather a per-process (N_p, D) float64 array with varying N_p:
+    exchange lengths, pad to the max, gather, strip the padding. The payload
+    crosses as uint32 words (f64 bit-cast) — process_allgather would silently
+    downcast f64 to f32 under the default x32 mode, perturbing conf sort
+    order and the PR interpolation at the 1e-9 level."""
+    arr = np.ascontiguousarray(arr, np.float64)
+    ns = mhu.process_allgather(np.asarray([arr.shape[0]], np.int64)).ravel()
+    m = int(ns.max())
+    d = arr.shape[1]
+    pad = np.zeros((max(m, 1), d * 2), np.uint32)
+    pad[: arr.shape[0]] = arr.view(np.uint32).reshape(arr.shape[0], d * 2)
+    out = np.asarray(mhu.process_allgather(pad))  # (P, m, 2D) uint32
+    parts = [
+        np.ascontiguousarray(out[i, : int(ns[i])])
+        .view(np.float64).reshape(int(ns[i]), d)
+        for i in range(len(ns))
+    ]
+    return np.concatenate(parts, 0)
+
+
 class DetectionMetrics:
     """Accumulate per-image (gt, pred) pairs and produce COCO-style metrics."""
 
@@ -91,6 +112,8 @@ class DetectionMetrics:
         self.style = style
         self.gts: list[np.ndarray] = []
         self.preds: list[np.ndarray] = []
+        # set by gather_across_processes(): global sufficient statistics
+        self._global: tuple | None = None
 
     def add_image(self, gt, pred):
         """gt: (N, 5) or None; pred: (M, 6) or None.
@@ -105,9 +128,50 @@ class DetectionMetrics:
             self.gts.append(gt)
             self.preds.append(pred)
 
+    def _flatten(self):
+        """Per-prediction sufficient statistics: (tps (P, T) bool, conf (P,),
+        cls (P,), tar_cls (G,)). The greedy gt<->pred matching (compute_tp)
+        is per-image, so it runs here — BEFORE any cross-process merge."""
+        if not self.gts:
+            t = len(IOU_THRESHOLDS)
+            z = np.zeros((0,), np.float64)
+            return np.zeros((0, t), bool), z, z, z
+        tps = np.concatenate(
+            [compute_tp(g, p) for g, p in zip(self.gts, self.preds)], axis=0
+        )
+        pred_all = np.concatenate(self.preds, axis=0)
+        gt_all = np.concatenate(self.gts, axis=0)
+        return tps, pred_all[:, 4], pred_all[:, 5], gt_all[:, 4]
+
+    def gather_across_processes(self):
+        """Merge every JAX process's accumulated statistics so each host's
+        compute() sees the GLOBAL val set (multi-host validation shards the
+        val loader by rank; reference equivalent: the all-rank gather in
+        utils/dist.py:176-254 feeding the val loop train_yolov5.py:676-769).
+        No-op single-process. Returns self."""
+        import jax
+
+        if jax.process_count() == 1:
+            return self
+        from jax.experimental import multihost_utils as mhu
+
+        tps, conf, cls_, tar_cls = self._flatten()
+        t = tps.shape[1]
+        rows = np.concatenate(
+            [tps.astype(np.float64), conf[:, None], cls_[:, None]], axis=1
+        )
+        rows = _allgather_varlen(rows, mhu)
+        tar_cls = _allgather_varlen(tar_cls[:, None], mhu)[:, 0]
+        self._global = (rows[:, :t].astype(bool), rows[:, t],
+                        rows[:, t + 1], tar_cls)
+        return self
+
     def compute(self) -> dict:
         """Returns dict with map, map50, mp, mr plus per-class arrays."""
-        if not self.gts:
+        tps, conf, cls_, tar_cls = (
+            self._global if self._global is not None else self._flatten()
+        )
+        if len(tps) == 0 or len(tar_cls) == 0:
             return {
                 "map": 0.0, "map50": 0.0, "mp": 0.0, "mr": 0.0,
                 "ap": np.zeros((0, len(IOU_THRESHOLDS))),
@@ -117,17 +181,10 @@ class DetectionMetrics:
                 "conf_axis": np.linspace(0, 1, 1000),
             }
 
-        tps = np.concatenate(
-            [compute_tp(g, p) for g, p in zip(self.gts, self.preds)], axis=0
-        )
-        pred_all = np.concatenate(self.preds, axis=0)
-        gt_all = np.concatenate(self.gts, axis=0)
-
-        sort_i = np.argsort(pred_all[:, 4])[::-1]
+        sort_i = np.argsort(conf)[::-1]
         sorted_tps = tps[sort_i]
-        sorted_conf = pred_all[sort_i, 4]
-        sorted_cls = pred_all[sort_i, 5]
-        tar_cls = gt_all[:, 4]
+        sorted_conf = conf[sort_i]
+        sorted_cls = cls_[sort_i]
 
         classes = np.unique(tar_cls)
         n_thr = sorted_tps.shape[1]

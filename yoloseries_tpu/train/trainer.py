@@ -493,10 +493,15 @@ class Trainer:
         # persistent val loader: with `val_every: 1` a fresh DataLoader per
         # call would spin up and tear down a process pool every epoch
         if getattr(self, "_val_loader", None) is None:
+            # rank-sharded: each host evaluates len(val)/world_size images
+            # and metrics.gather_across_processes() merges before compute —
+            # NOT every host redundantly scoring the full set (reference
+            # shards via its sampler + utils/dist.py gather)
             self._val_loader = DataLoader(
                 self.val_dataset, batch_size=self.cfg.batch_size,
                 max_labels=self.cfg.max_labels, workers=self.cfg.num_workers,
                 shuffle=False, infinite=False, enable_aug=False,
+                rank=jax.process_index(), world_size=jax.process_count(),
             )
         else:
             self._val_loader.restart()
@@ -518,7 +523,7 @@ class Trainer:
             pending = (dets, batch)
         if pending is not None:
             self._accumulate_eval(metrics, *pending)
-        out = metrics.compute()
+        out = metrics.gather_across_processes().compute()
         self.log(
             f"mAP {out['map']:.4f} mAP50 {out['map50']:.4f} "
             f"P {out['mp']:.4f} R {out['mr']:.4f}"
