@@ -88,6 +88,56 @@ def test_train_step_accumulation():
     assert np.isfinite(float(metrics["tot_loss"]))
 
 
+def test_multiscale_resize_matches_torch_interpolate():
+    """The device multi-scale resize (state.make_train_step resize_to) must
+    reproduce the reference's F.interpolate(bilinear, align_corners=False)
+    on the normalized batch (train_yolov5.py:536-543) — up AND down scale.
+    Bilinearity lets the step resize the raw-cast image and normalize after."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    for new in (96, 32):
+        ours = np.asarray(jax.image.resize(
+            jnp.asarray(img).astype(jnp.float32),
+            (2, new, new, 3), method="bilinear", antialias=False,
+        ) / 255.0)
+        t = torch.from_numpy(
+            img.transpose(0, 3, 1, 2).astype(np.float32) / 255.0
+        )
+        ref = F.interpolate(t, size=(new, new), mode="bilinear",
+                            align_corners=False)
+        np.testing.assert_allclose(
+            ours, ref.numpy().transpose(0, 2, 3, 1), atol=2e-6,
+        )
+
+
+@pytest.mark.slow
+def test_train_step_multiscale_interpolate():
+    """A resize_to step consumes BASE-size batches, trains at the bucket
+    size, and scales targets by new/base (reference semantics)."""
+    size, new = 64, 96
+    model = ToyDetector()
+    cfg = OptimizerConfig(
+        batch_size=2, total_epochs=10, steps_per_epoch=5, warmup_epochs=1,
+        basic_lr_per_img=0.005,
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), train=False
+    )
+    tx = build_optimizer(cfg, variables["params"])
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               (1, size, size, 3))
+    loss_cfg = YOLOv5LossConfig(num_class=3, input_size=(new, new),
+                                use_focal_loss=False)
+    step_fn = make_train_step(loss_cfg, YOLOV5_ANCHORS, donate=False,
+                              resize_to=(new, new), base_hw=(size, size))
+    state, metrics = step_fn(state, make_batch(size=size))
+    assert np.isfinite(float(metrics["tot_loss"]))
+    assert int(state.step) == 1
+
+
 @pytest.mark.slow
 def test_ema_follows_params():
     state, step_fn = build_state()
@@ -128,6 +178,15 @@ def test_param_group_labels():
     assert param_group_label(("detect", "bias"), None) == "bias"
     assert param_group_label(("bn", "scale"), None) == "other"
     assert param_group_label(("conv", "kernel"), None) == "weight"
+
+    # through tree_map_with_path, as build_optimizer actually calls it —
+    # path entries are DictKey objects whose str() is "['bias']", which a
+    # naive str(path[-1]) mislabels into the 'weight' catch-all
+    tree = {"detect": {"bias": 0.0}, "bn": {"scale": 0.0},
+            "conv": {"kernel": 0.0}}
+    labels = jax.tree_util.tree_map_with_path(param_group_label, tree)
+    assert labels == {"detect": {"bias": "bias"}, "bn": {"scale": "other"},
+                      "conv": {"kernel": "weight"}}
 
 
 @pytest.mark.slow

@@ -90,7 +90,8 @@ def shard_ddp_state(state: TrainState, mesh) -> TrainState:
 
 
 def make_ddp_train_step(loss_fn, mesh, apply_fn, tx, accumulate: int = 1,
-                        do_ema: bool = True, compute_dtype=jnp.float32):
+                        do_ema: bool = True, compute_dtype=jnp.float32,
+                        resize_to=None, base_hw=None):
     """Build the per-replica-BN train step over a ('data',) mesh.
 
     The returned fn takes (state, batch) where state was prepared with
@@ -102,9 +103,22 @@ def make_ddp_train_step(loss_fn, mesh, apply_fn, tx, accumulate: int = 1,
     (new_state, metrics); metrics are cross-replica means.
     """
     axis = "data"
+    if resize_to is not None:
+        assert base_hw is not None, "resize_to needs base_hw for the scale"
+        ms_scale = float(max(resize_to)) / float(max(base_hw))
 
     def per_device(params, batch_stats, opt_state, ema_params, ema_stats,
                    ema_count, balances, step, img_u8, ann):
+        if resize_to is not None and tuple(img_u8.shape[1:3]) != tuple(resize_to):
+            # reference multi-scale numerics: bilinear batch interpolation
+            # + target scaling (train_yolov5.py:536-543; see
+            # state.make_train_step for the full rationale)
+            img_u8 = jax.image.resize(
+                img_u8.astype(compute_dtype),
+                (img_u8.shape[0], resize_to[0], resize_to[1], img_u8.shape[3]),
+                method="bilinear", antialias=False,
+            )
+            ann = jnp.concatenate([ann[..., :4] * ms_scale, ann[..., 4:]], -1)
         # batch_stats arrives with the sharded leading device axis -> (1, ...)
         local_stats = jax.tree.map(lambda x: x[0], batch_stats)
         local_ema_stats = jax.tree.map(lambda x: x[0], ema_stats)

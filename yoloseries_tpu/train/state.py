@@ -67,6 +67,8 @@ def make_train_step(
     do_ema: bool = True,
     compute_dtype=jnp.float32,
     donate: bool = True,
+    resize_to=None,
+    base_hw=None,
 ):
     """Build the jitted train step.
 
@@ -84,6 +86,14 @@ def make_train_step(
     re-materializes the whole forward anyway). Pass ``remat=True`` to
     the model constructor (models/yolov5.py CSPTrunk) to checkpoint per
     CSP stage instead.
+
+    ``resize_to``/``base_hw``: multi-scale training with the REFERENCE's
+    numerics (train_yolov5.py:526-544): the collated base-size batch is
+    bilinearly interpolated ON DEVICE to ``resize_to`` and the box targets
+    scaled by max(resize_to)/max(base_hw) — instead of re-letterboxing
+    later batches at the new size. One compiled step per /32 bucket; the
+    ``loss`` closure must be built at ``resize_to``. Bilinearity makes
+    resize-then-/255 equal the reference's /255-then-resize.
     """
     if isinstance(loss, YOLOv5LossConfig):
         cfg = loss
@@ -106,10 +116,26 @@ def make_train_step(
         aux = (mutated["batch_stats"], new_balances, loss_dict)
         return loss_dict["tot_loss"], aux
 
+    if resize_to is not None:
+        assert base_hw is not None, "resize_to needs base_hw for the scale"
+        ms_scale = float(max(resize_to)) / float(max(base_hw))
+
     def train_step(state: TrainState, batch):
         k = accumulate
         img = batch["img"]
         ann = batch["ann"]
+        if resize_to is not None and tuple(img.shape[1:3]) != tuple(resize_to):
+            # reference mutil_scale_training: F.interpolate(bilinear,
+            # align_corners=False) on the collated batch + targets[:4] *=
+            # scale (train_yolov5.py:536-543). jax.image.resize 'bilinear'
+            # uses the same half-pixel sampling; antialias off to match
+            # torch's non-antialiased downscale.
+            img = jax.image.resize(
+                img.astype(compute_dtype),
+                (img.shape[0], resize_to[0], resize_to[1], img.shape[3]),
+                method="bilinear", antialias=False,
+            )
+            ann = jnp.concatenate([ann[..., :4] * ms_scale, ann[..., 4:]], -1)
         micro_b = img.shape[0] // k
         img = img.reshape(k, micro_b, *img.shape[1:])
         ann = ann.reshape(k, micro_b, *ann.shape[1:])

@@ -192,15 +192,24 @@ class Trainer:
                 )
             }
         # multi-scale training (train_yolov5.py:526-544): the reference
-        # samples uniformly in [0.5x, 1.5x] (train_yolov5.py:538); jit needs
-        # static shapes, so quantize that range to /32 buckets — every /32
-        # size the reference could produce gets its own compiled step.
+        # samples a fresh /32 size in [0.5x, 1.5x+32) EVERY iteration (:321,
+        # :538) and bilinearly interpolates the collated batch + targets.
+        # jit needs static shapes, so each /32 bucket gets its own compiled
+        # step. Two modes (multi_scale_mode):
+        # * "interpolate" (default): the reference's exact numerics — the
+        #   loader always collates at base size and the jitted step resizes
+        #   the batch on device (state.make_train_step resize_to),
+        # * "collate": re-letterbox subsequent batches at the new size
+        #   (higher-fidelity pixels, non-reference dynamics; size redrawn
+        #   every 10 iterations to bound collate churn).
         self.multi_scale_sizes = []
         if cfg.hyp.get("mutil_scale_training") or cfg.hyp.get("multi_scale_training"):
             base = cfg.input_size[0]
             lo = max(round(base * 0.5 / 32) * 32, 64)
             hi = round(base * 1.5 / 32) * 32
             self.multi_scale_sizes = list(range(lo, hi + 1, 32))
+        self.multi_scale_mode = cfg.hyp.get("multi_scale_mode", "interpolate")
+        assert self.multi_scale_mode in ("interpolate", "collate")
         self._ms_rng = np.random.default_rng(cfg.seed + 1)
 
         self.batch_shard = batch_sharding(self.mesh)
@@ -257,8 +266,16 @@ class Trainer:
                 print(f"model summary unavailable: {err}", file=self._log_file)
 
     def _step_fn_for(self, size):
+        """Compiled train step for one multi-scale bucket. In interpolate
+        mode the step resizes the base-size batch to ``size`` on device; in
+        collate mode the batch already arrives at ``size``."""
         size = tuple(size)
         if size not in self._step_fns:
+            base = tuple(self.cfg.input_size)
+            resize_to = (
+                size if self.multi_scale_mode == "interpolate"
+                and size != base else None
+            )
             loss_fn, _ = self.family.make_loss(self.cfg.hyp, self.num_class, size)
             if self.per_replica_bn:
                 from .ddp import make_ddp_train_step
@@ -267,11 +284,13 @@ class Trainer:
                     loss_fn, self.mesh, self.model.apply, self.tx,
                     accumulate=self.cfg.accumulate,
                     do_ema=self.cfg.do_ema, compute_dtype=self._compute_dtype,
+                    resize_to=resize_to, base_hw=base,
                 )
             else:
                 self._step_fns[size] = make_train_step(
                     loss_fn, accumulate=self.cfg.accumulate,
                     do_ema=self.cfg.do_ema, compute_dtype=self._compute_dtype,
+                    resize_to=resize_to, base_hw=base,
                 )
         return self._step_fns[size]
 
@@ -359,7 +378,7 @@ class Trainer:
             f"it {it + 1}/{self.steps_per_epoch} "
             f"loss {self.meters['tot_loss'].latest:.3f} "
             f"lr {self._current_lr(global_it):.3e} "
-            f"size {batch['img'].shape[1]} "
+            f"size {getattr(self, '_last_train_size', batch['img'].shape[1])} "
             f"iter {iter_t:.3f}s data {self.meters['data_time'].avg:.3f}s "
             f"eta {eta}"
         )
@@ -382,8 +401,11 @@ class Trainer:
         tmp = jax.tree.map(jnp.copy, self.state)
         for s in sizes:
             t0 = time.time()
+            # interpolate mode feeds every bucket BASE-size batches
+            bs = (self.cfg.input_size[0]
+                  if self.multi_scale_mode == "interpolate" else s)
             batch = self._device_batch({
-                "img": np.zeros((b, s, s, 3), np.uint8),
+                "img": np.zeros((b, bs, bs, 3), np.uint8),
                 "ann": np.full((b, m, 6), -1.0, np.float32),
             })
             tmp, _ = self._step_fn_for((s, s))(tmp, batch)
@@ -411,16 +433,24 @@ class Trainer:
             t_epoch = time.time()
             for it in range(self.steps_per_epoch):
                 global_it = epoch * self.steps_per_epoch + it
-                if self.multi_scale_sizes and global_it % 10 == 0:
-                    # new random size every 10 iterations (:536-543)
-                    s = int(self._ms_rng.choice(self.multi_scale_sizes))
-                    self.train_loader.set_input_size(s)
+                step_size = None
+                if self.multi_scale_sizes:
+                    if self.multi_scale_mode == "interpolate":
+                        # fresh size EVERY iteration, resized on device
+                        # inside the step (reference :321, :536-543)
+                        s = int(self._ms_rng.choice(self.multi_scale_sizes))
+                        step_size = (s, s)
+                    elif global_it % 10 == 0:
+                        s = int(self._ms_rng.choice(self.multi_scale_sizes))
+                        self.train_loader.set_input_size(s)
                 if self._profile_steps and global_it == 1:
                     jax.profiler.start_trace(self._profile_dir)
                 t0 = time.time()
                 batch = self._device_batch(next(self.train_loader))
                 t_data = time.time() - t0
-                step_fn = self._step_fn_for(batch["img"].shape[1:3])
+                train_size = tuple(step_size or batch["img"].shape[1:3])
+                self._last_train_size = train_size[0]
+                step_fn = self._step_fn_for(train_size)
                 self.state, metrics = step_fn(self.state, batch)
                 # ASYNC DISPATCH: don't pull metric scalars here — a host
                 # sync per step serializes dispatch latency into the step
