@@ -209,13 +209,20 @@ def test_loader_device_aug_end_to_end(aug_dataset):
         plan_loader.stop()
 
 
-def test_device_aug_rejects_unsupported(aug_dataset):
+def test_device_aug_falls_back_unsupported(aug_dataset):
     # blur with a PARTIAL warp probability and mosaic on: unwarped mosaic
-    # samples live on the 2x canvas, which the staged plane can't hold
+    # samples live on the 2x canvas, which the staged plane can't hold —
+    # contract (device_aug.py docstring): warn and fall back to host aug
     ds = _make_ds(aug_dataset, blur_p=0.5, perspective_p=0.5, mosaic_p=1.0)
-    with pytest.raises(ValueError, match="device_aug"):
-        DataLoader(ds, batch_size=2, workers=1, use_processes=False,
-                   device_aug=True)
+    with pytest.warns(UserWarning, match="falling back to host"):
+        loader = DataLoader(ds, batch_size=2, workers=1, use_processes=False,
+                            device_aug=True, device_cache=True)
+    try:
+        assert not loader.device_aug and not loader.device_cache
+        batch = next(iter(loader))
+        assert "img" in batch  # host-collated pixels, not a plan batch
+    finally:
+        loader.stop()
 
 
 def test_device_aug_cache_resizes_oversized(aug_dataset, tmp_path):

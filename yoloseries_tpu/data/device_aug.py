@@ -29,9 +29,13 @@ HSV integer rounding differ at the last bit; mixup blends after sampling
 instead of before — linearity makes that <=1 LSB), verified to tight
 tolerances in tests/test_device_aug.py. Box/label output is exact.
 
-Unsupported knobs fall back to the host pipeline (DataLoader refuses
-device_aug): blur_p > 0, scale_jitting_p > 0 (dead defaults in every
-reference preset, config/train_yolov5.yaml data_hyp).
+Every reference augmentation knob renders on device. blur and
+scale_jitting go through the STAGED renderer (plane -> blur -> jit +
+letterbox, see `render_staged`), which needs the sample plane to fit the
+input-size buffer: perspective_p == 1.0 (the reference default) or mosaic
+off. For the remaining combination (blur/jit active + perspective_p < 1 +
+mosaic on) the DataLoader falls back to host augmentation with a warning
+(`device_aug_supported` is the gate).
 
 Reference equivalents: utils/data_aug.py:579-671 (mosaic), :709-734
 (mixup), :482-576 (perspective), :363-389 (HSV), :434-478 (flips),

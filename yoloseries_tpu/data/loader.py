@@ -196,12 +196,21 @@ class DataLoader:
             from .device_aug import device_aug_supported
 
             if not device_aug_supported(dataset.aug):
-                raise ValueError(
-                    "device_aug with blur_p/scale_jitting_p > 0 needs the "
-                    "staged renderer, which requires perspective_p == 1.0 "
-                    "or mosaic_p == 0.0 (the sample plane must fit the "
-                    "input-size buffer) — use the host pipeline otherwise"
+                # documented contract (device_aug.py): unsupported knob
+                # combinations FALL BACK to the host pipeline with a
+                # warning rather than erroring a run that would work
+                import warnings
+
+                warnings.warn(
+                    "device_aug disabled for this run: blur_p/"
+                    "scale_jitting_p > 0 need the staged renderer, which "
+                    "requires perspective_p == 1.0 or mosaic_p == 0.0 "
+                    "(the sample plane must fit the input-size buffer); "
+                    "falling back to host augmentation",
+                    stacklevel=2,
                 )
+                self.device_aug = False
+                self.device_cache = False
         if self.device_cache and dataset._cache is None:
             raise ValueError(
                 "device_cache needs the dataset image cache "
