@@ -78,8 +78,7 @@ def main():
     anchors = jnp.asarray(YOLOV5_ANCHORS)
     use_pallas = jax.default_backend() not in ("cpu",)
 
-    @jax.jit
-    def e2e(variables, img_u8):
+    def e2e_body(variables, img_u8):
         img = img_u8.astype(jnp.float32) / 255.0
         preds = model.apply(variables, img, train=False)
         # serving config: fused top-k candidate selection straight off the
@@ -98,6 +97,8 @@ def main():
         )
         # scalar checksum: forces full materialization at sync time
         return out, jnp.sum(out)
+
+    e2e = jax.jit(e2e_body)
 
     @jax.jit
     def e2e_protocol(variables, img_u8):
@@ -154,29 +155,48 @@ def main():
     img_per_s = batch / dt
 
     # ---- p50 small-batch latency sweep (BASELINE.md: "measured and
-    # reported"): per-call sync, serving config, batches 1/8/32. On the
-    # tunneled chip every sync pays the ~31 ms relay round trip; the
-    # on-chip estimate subtracts the measured relay floor.
-    float(jnp.sum(jnp.zeros((8,))))  # warm the probe's compile first
-    probes = []
-    for _ in range(8):
-        t0 = time.perf_counter()
-        float(jnp.sum(jnp.zeros((8,))))  # relay floor probe
-        probes.append(time.perf_counter() - t0)
-    relay_ms = sorted(probes)[len(probes) // 2] * 1e3
+    # reported"): serving config, batches 1/8/32.
+    #
+    # On-chip latency is measured DIRECTLY with a K-chained device loop —
+    # one dispatch runs K sequential end-to-end iterations (each data-
+    # dependent on the previous checksum so XLA cannot hoist the body),
+    # so the ~30 ms tunnel round trip amortizes to noise and no relay-floor
+    # subtraction is needed (the r3 floor probe varied 26-35 ms across runs
+    # and once exceeded the measurement). The per-call synced p50 is kept
+    # as the separate tunnel-inclusive number.
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("k_iters",))
+    def e2e_chain(variables, img_u8, k_iters):
+        def body(i, acc):
+            # data-dependence on the carry: provably-live per iteration,
+            # the uint8 perturbation is 0/1 on one LSB of the image
+            img = img_u8 + (acc.astype(jnp.int32) % 2).astype(jnp.uint8)
+            _, checksum = e2e_body(variables, img)
+            return acc + checksum
+        return jax.lax.fori_loop(0, k_iters, body, jnp.float32(0.0))
+
+    k_chain = 50
     lat_sweep = {}
     for lb in (1, 8, 32):
-        imgs_lb = [(variables, jnp.asarray(
-            rng.integers(0, 255, (lb, 640, 640, 3), dtype=np.uint8)))
-            for _ in range(3)]
-        float(e2e(*imgs_lb[0])[1])
-        lat = []
-        for i in range(12):
+        img_lb = jnp.asarray(
+            rng.integers(0, 255, (lb, 640, 640, 3), dtype=np.uint8))
+        float(e2e_chain(variables, img_lb, k_chain))  # compile + warm
+        reps = []
+        for _ in range(5):
             t0 = time.perf_counter()
-            float(e2e(*imgs_lb[i % 3])[1])
+            float(e2e_chain(variables, img_lb, k_chain))
+            reps.append((time.perf_counter() - t0) / k_chain)
+        onchip_ms = sorted(reps)[len(reps) // 2] * 1e3
+
+        # tunnel-inclusive per-call p50 (what a single remote call costs)
+        float(e2e(variables, img_lb)[1])
+        lat = []
+        for _ in range(12):
+            t0 = time.perf_counter()
+            float(e2e(variables, img_lb)[1])
             lat.append(time.perf_counter() - t0)
-        lat_sweep[lb] = sorted(lat)[len(lat) // 2] * 1e3
-    p50_ms = lat_sweep[1]
+        lat_sweep[lb] = (onchip_ms, sorted(lat)[len(lat) // 2] * 1e3)
 
     # ---- training step: fwd+assign+loss+bwd+optimizer, bf16, batch 128
     train_img_s, mfu = _bench_train_step()
@@ -188,13 +208,13 @@ def main():
         "unit": "img/s/chip",
         "vs_baseline": round(protocol_img_s / baseline, 4),
     }))
-    for lb, ms in lat_sweep.items():
+    for lb, (onchip_ms, sync_ms) in lat_sweep.items():
         print(json.dumps({
             "metric": f"yolov5s_640_p50_latency_b{lb}",
-            "value": round(ms, 2),
+            "value": round(onchip_ms, 2),
             "unit": "ms",
-            "onchip_est_ms": round(max(ms - relay_ms, 0.0), 2),
-            "relay_floor_ms": round(relay_ms, 2),
+            "method": f"{k_chain}-chained on-device loop",
+            "tunnel_inclusive_ms": round(sync_ms, 2),
         }))
     print(json.dumps({
         "metric": "yolov5s_640_train_step",
