@@ -22,7 +22,8 @@ def make_preds(batch=2, size=64, nc=8, seed=3):
     return preds
 
 
-def run_both(conf=0.25, cls_thr=0.25, iou=0.45, k=64, max_keep=32):
+def run_both(conf=0.25, cls_thr=0.25, iou=0.45, k=64, max_keep=32,
+             select="topk"):
     preds = make_preds()
     anchors = jnp.asarray(YOLOV5_ANCHORS)
 
@@ -34,6 +35,7 @@ def run_both(conf=0.25, cls_thr=0.25, iou=0.45, k=64, max_keep=32):
 
     boxes, scores, cls_ids = decode_topk_yolov5(
         preds, anchors, k=k, conf_threshold=conf, cls_threshold=cls_thr,
+        select=select,
     )
     out_fused = nms_candidates(
         boxes, scores, cls_ids, iou_threshold=iou, max_keep=max_keep,
@@ -64,6 +66,36 @@ def test_fused_matches_dense_protocol_config():
         d, f = _sorted_rows(out_dense[b]), _sorted_rows(out_fused[b])
         assert d.shape == f.shape
         np.testing.assert_allclose(d, f, rtol=1e-5, atol=1e-4)
+
+
+def test_sort_select_matches_dense():
+    """The sort-based selection (dense 6-plane decode + one variadic stable
+    sort — the large-K protocol engine, no gathers) must match the dense
+    path exactly like the top-k engine does, at both threshold regimes."""
+    for kw in (dict(), dict(conf=0.001, cls_thr=0.001, iou=0.65, k=256)):
+        out_dense, out_fused = run_both(select="sort", **kw)
+        for b in range(out_dense.shape[0]):
+            d, f = _sorted_rows(out_dense[b]), _sorted_rows(out_fused[b])
+            assert d.shape == f.shape
+            np.testing.assert_allclose(d, f, rtol=1e-5, atol=1e-4)
+
+
+def test_sort_select_matches_topk_order():
+    """Candidate ORDER parity between the two engines (ties resolve to the
+    lower flat index in both lax.top_k and the stable sort), including the
+    v7 gate."""
+    preds = make_preds(seed=11)
+    anchors = jnp.asarray(YOLOV5_ANCHORS)
+    for gate in ("v5", "v7"):
+        a = decode_topk_yolov5(preds, anchors, k=128, conf_threshold=0.2,
+                               cls_threshold=0.1, conf_gate=gate,
+                               select="topk")
+        b = decode_topk_yolov5(preds, anchors, k=128, conf_threshold=0.2,
+                               cls_threshold=0.1, conf_gate=gate,
+                               select="sort")
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-5)
 
 
 def test_fused_all_background():

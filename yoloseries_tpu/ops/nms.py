@@ -281,12 +281,14 @@ def nms_candidates(
                 keep_idx, keep_valid = pallas_matrix_nms(
                     boxes_off, score_k, iou_threshold, max_keep=max_keep
                 )
-            elif k_n > 1024:
-                # large-K regime (the certified 4096-candidate eval
-                # protocol): priority-sorted 1024-wide strips through the
-                # matrix kernel with carried keeper kills — exact greedy,
-                # strips x chain-depth rounds instead of max_keep
-                # sequential rounds over all K lanes
+            elif k_n > 8192:
+                # beyond the greedy kernel's VMEM plane budget:
+                # priority-sorted 1024-wide strips through the matrix
+                # kernel with carried keeper kills — exact greedy
+                # (kernels/nms_matrix.py). Measured on v5e at K=4096 the
+                # greedy kernel still wins at EVERY batch size (B=1: 3.9
+                # vs 4.0 ms, B=64: 4.2 vs 15.8, B=256: 11.4 vs 52.5), so
+                # the strip path is the fallback, not the fast path.
                 from ..kernels.nms_matrix import pallas_matrix_nms_chunked
 
                 keep_idx, keep_valid = pallas_matrix_nms_chunked(
