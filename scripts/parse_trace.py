@@ -12,6 +12,19 @@ from collections import defaultdict
 from pathlib import Path
 
 
+def _import_xplane_pb2():
+    """xplane proto lives in different packages across versions; try each."""
+    import importlib
+    for mod in ("tensorflow.tsl.profiler.protobuf.xplane_pb2",
+                "tensorboard_plugin_profile.protobuf.xplane_pb2",
+                "tsl.profiler.protobuf.xplane_pb2"):
+        try:
+            return importlib.import_module(mod)
+        except ImportError:
+            continue
+    raise SystemExit("no xplane_pb2 proto module available")
+
+
 def find_xplane(root):
     hits = sorted(Path(root).rglob("*.xplane.pb"))
     if not hits:
@@ -20,7 +33,7 @@ def find_xplane(root):
 
 
 def main():
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    xplane_pb2 = _import_xplane_pb2()
 
     path = find_xplane(sys.argv[1] if len(sys.argv) > 1 else "/tmp/jax-trace")
     xs = xplane_pb2.XSpace()
