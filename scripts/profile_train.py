@@ -47,6 +47,14 @@ def main():
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--nc", type=int, default=80)
     ap.add_argument("--accumulate", type=int, default=1)
+    ap.add_argument("--model", default="yolov5s",
+                    help="any v5-family name (yolov5s/m/l/...); m/l act as "
+                         "width-vs-MFU diagnostics for the narrow-channel "
+                         "hypothesis (same loss, wider convs)")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate the train state into the step (halves "
+                         "param+opt HBM residency; frees headroom for "
+                         "bigger batches)")
     ap.add_argument("--s2d-stem", action="store_true",
                     help="space-to-depth stem reparam (equivalent arithmetic)")
     ap.add_argument("--remat", action="store_true",
@@ -70,7 +78,7 @@ def main():
     from yoloseries_tpu.utils.summary import summarize_model
 
     B, S, nc = args.batch, args.size, args.nc
-    model = create_model("yolov5s", num_class=nc, dtype=jnp.bfloat16,
+    model = create_model(args.model, num_class=nc, dtype=jnp.bfloat16,
                          s2d_stem=args.s2d_stem, remat=args.remat)
     gflops = summarize_model(model, (1, S, S, 3))["gflops"]
     loss_cfg = YOLOv5LossConfig(num_class=nc, input_size=(S, S))
@@ -154,7 +162,7 @@ def main():
 
     # ---- full step
     step = make_train_step(loss_cfg, YOLOV5_ANCHORS, accumulate=args.accumulate,
-                           compute_dtype=jnp.bfloat16, donate=False)
+                           compute_dtype=jnp.bfloat16, donate=args.donate)
     batches = [{"img": im, "ann": an} for im, an in zip(imgs, anns)]
 
     def full(b):
@@ -184,7 +192,7 @@ def main():
             "mfu_fwd_flops": round(gflops * 1e9 * img_s / peak, 4),
         }))
 
-    print(f"# yolov5s @{S} batch {B} bf16, fwd {gflops:.1f} GFLOPs/img")
+    print(f"# {args.model} @{S} batch {B} bf16, fwd {gflops:.1f} GFLOPs/img")
     line("fwd", t_fwd)
     line("loss", t_loss)
     line("fwd_loss", t_fwdloss)

@@ -46,6 +46,20 @@ VARIANTS = [
         ["--s2d-stem"],
         {"XLA_FLAGS": "--xla_tpu_scoped_vmem_limit_kib=131072"},
     ),
+    # --- round-4 backward-MFU levers (VERDICT r3 Next #2) ---
+    # donation halves param+opt-state HBM residency during the step; the
+    # round-3 finding was that b256 fwd OOMs WITHOUT donation — retry the
+    # batch ladder with it.
+    ("donate_b128", ["--donate"], {}),
+    ("donate_b160", ["--donate", "--batch", "160"], {}),
+    ("donate_b192", ["--donate", "--batch", "192"], {}),
+    ("donate_b256", ["--donate", "--batch", "256"], {}),
+    ("donate_remat_b256", ["--donate", "--remat", "--batch", "256"], {}),
+    # width-vs-MFU diagnostics: same step/loss, wider convs. If MFU climbs
+    # with base_width (s=32 -> m=48 -> l=64), the v5s residual is
+    # narrow-channel MXU occupancy (conv-algorithm-bound), not scheduling.
+    ("diag_yolov5m", ["--model", "yolov5m"], {}),
+    ("diag_yolov5l", ["--model", "yolov5l", "--batch", "64"], {}),
 ]
 
 
