@@ -77,6 +77,12 @@ def main():
     )
     from yoloseries_tpu.utils.summary import summarize_model
 
+    if not args.model.startswith("yolov5"):
+        raise SystemExit(
+            f"--model {args.model}: this profiler hardwires the v5 loss "
+            "(YOLOv5LossConfig/YOLOV5_ANCHORS); only yolov5* models measure "
+            "correctly here"
+        )
     B, S, nc = args.batch, args.size, args.nc
     model = create_model(args.model, num_class=nc, dtype=jnp.bfloat16,
                          s2d_stem=args.s2d_stem, remat=args.remat)

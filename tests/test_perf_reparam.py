@@ -227,6 +227,44 @@ def test_family_remat_param_tree_identical(build):
 
 
 @pytest.mark.slow
+def test_family_remat_init_values_identical_yolov8():
+    """Advisor r4: the fast tier checks remat param trees by eval_shape
+    (shape/dtype only); pin the 'identical trees imply identical VALUES'
+    claim empirically for one representative family by running real init."""
+    from yoloseries_tpu.models import YOLOv8
+
+    x = jnp.zeros((1, 64, 64, 3))
+    v_a = YOLOv8(num_class=4, scale=0.25).init(jax.random.PRNGKey(0), x,
+                                               train=False)
+    v_b = YOLOv8(num_class=4, scale=0.25, remat=True).init(
+        jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v_a) == jax.tree_util.tree_structure(v_b)
+    for a, b in zip(jax.tree.leaves(v_a), jax.tree.leaves(v_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_remat_grads_identical_jitted_cpu(rng, tiny_v5):
+    """Advisor r4: the fast-tier CPU branch of test_remat_grads_identical
+    drops jit for speed; keep the COMPILED remat path covered on CPU-only
+    hosts too (fusion/wiring regressions surface under jit)."""
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    base, v = tiny_v5
+    rem = YOLOv5(num_class=4, spec=TINY, remat=True)
+
+    def loss(params, model):
+        outs, _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return sum(jnp.sum(o * o) for o in outs)
+
+    g_a = jax.jit(jax.grad(loss), static_argnums=1)(v["params"], base)
+    g_b = jax.jit(jax.grad(loss), static_argnums=1)(v["params"], rem)
+    _assert_grads_equal_mod_rounding(g_a, g_b)
+
+
+@pytest.mark.slow
 def test_yolov8_remat_grads_identical(rng):
     from yoloseries_tpu.models import YOLOv8
 
