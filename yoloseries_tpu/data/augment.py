@@ -267,13 +267,14 @@ def cutout(img, boxes, labels, iou_thr, p, rng):
     img_cut = img.copy()
     keep_mask = np.ones(len(boxes), dtype=bool)
     for s in scales:
-        mh = rng.integers(1, max(int(h * s), 2))
-        mw = rng.integers(1, max(int(w * s), 2))
-        xc, yc = rng.integers(0, w), rng.integers(0, h)
-        x1 = np.clip(xc - mw // 2, 0, w)
-        y1 = np.clip(yc - mh // 2, 0, h)
-        x2 = np.clip(xc + mw // 2, 0, w)
-        y2 = np.clip(yc + mh // 2, 0, h)
+        mh = int(rng.integers(1, max(int(h * s), 2)))
+        mw = int(rng.integers(1, max(int(w * s), 2)))
+        xc, yc = int(rng.integers(0, w)), int(rng.integers(0, h))
+        # scalar min/max == np.clip on ints, ~6x cheaper (31 scales x 4)
+        x1 = max(0, min(xc - mw // 2, w))
+        y1 = max(0, min(yc - mh // 2, h))
+        x2 = max(0, min(xc + mw // 2, w))
+        y2 = max(0, min(yc + mh // 2, h))
         mask_area = max((x2 - x1) * (y2 - y1), 0)
         if len(boxes):
             bw = np.maximum(boxes[:, 2] - boxes[:, 0], 0)

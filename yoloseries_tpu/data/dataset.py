@@ -84,6 +84,7 @@ class DetectionDataset:
         else:
             self.cls2name = {}
         self._num_class = None
+        self._ann_cache: dict = {}
 
         # optional np.memmap cache of min-scale-resized images
         # (dataset/datasets.py:277-322 _cache_image). When active, pull_item
@@ -116,17 +117,28 @@ class DetectionDataset:
 
     def load_annotations(self, idx: int) -> np.ndarray:
         """Returns (N, 5) [cls, xmin, ymin, xmax, ymax]; boxes with any side
-        < 1 px are dropped (dataset/datasets.py:178-181)."""
+        < 1 px are dropped (dataset/datasets.py:178-181).
+
+        Parsed labels are memoized: a mosaic+mixup plan pulls 8+ items, and
+        re-running np.loadtxt per pull was ~40% of device-aug planning time
+        (profiled on the 1-core host). Callers get a fresh copy — pull_item
+        and the augmenters mutate boxes in place."""
+        cached = self._ann_cache.get(idx)
+        if cached is not None:
+            return cached.copy()
         path = self.lab_dir / f"{self.img_files[idx].stem}.txt"
         try:
             ann = np.loadtxt(str(path), dtype=np.float32, ndmin=2)
         except (ValueError, OSError):
             ann = np.zeros((0, 5), dtype=np.float32)
         if ann.size == 0:
-            return np.zeros((0, 5), dtype=np.float32)
-        assert ann.shape[1] == 5, f"bad label shape {ann.shape} in {path}"
-        whs = ann[:, [3, 4]] - ann[:, [1, 2]]
-        return ann[np.all(whs >= 1, axis=1)]
+            ann = np.zeros((0, 5), dtype=np.float32)
+        else:
+            assert ann.shape[1] == 5, f"bad label shape {ann.shape} in {path}"
+            whs = ann[:, [3, 4]] - ann[:, [1, 2]]
+            ann = ann[np.all(whs >= 1, axis=1)]
+        self._ann_cache[idx] = ann
+        return ann.copy()
 
     def _build_cache(self, cache_dir):
         import cv2

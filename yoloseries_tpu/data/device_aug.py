@@ -262,13 +262,15 @@ def _plan_chain(plan, boxes, labels, plane_hw, cfg: AugmentConfig, rng):
         painted_any = False
         m = 0
         for s_ in _CUTOUT_SCALES:
-            mh = rng.integers(1, max(int(h * s_), 2))
-            mw = rng.integers(1, max(int(w * s_), 2))
-            xc, yc = rng.integers(0, w), rng.integers(0, h)
-            x1 = np.clip(xc - mw // 2, 0, w)
-            y1 = np.clip(yc - mh // 2, 0, h)
-            x2 = np.clip(xc + mw // 2, 0, w)
-            y2 = np.clip(yc + mh // 2, 0, h)
+            mh = int(rng.integers(1, max(int(h * s_), 2)))
+            mw = int(rng.integers(1, max(int(w * s_), 2)))
+            xc, yc = int(rng.integers(0, w)), int(rng.integers(0, h))
+            # scalar min/max == np.clip here; np.clip on scalars was ~10%
+            # of plan time (64 calls/plan)
+            x1 = max(0, min(xc - mw // 2, w))
+            y1 = max(0, min(yc - mh // 2, h))
+            x2 = max(0, min(xc + mw // 2, w))
+            y2 = max(0, min(yc + mh // 2, h))
             mask_area = max((x2 - x1) * (y2 - y1), 0)
             if len(boxes):
                 bw = np.maximum(boxes[:, 2] - boxes[:, 0], 0)
