@@ -145,6 +145,11 @@ class TrainConfig:
             warmup_epochs=hyp.get("warmup_epoch", 3),
             warmup_bias_max_lr=hyp.get("warmup_bias_max_lr", 0.1),
             warmup_momentum=hyp.get("warmup_momentum", 0.8),
+            # explicit hyp['warmup_steps'] pins the ramp length, bypassing
+            # the reference's max(warmup_epoch*spe, 1000) floor
+            # (train_yolov5.py:253) — used by small-scale parity runs where
+            # a 1000-iter ramp would swallow the whole schedule
+            warmup_steps_override=hyp.get("warmup_steps"),
         )
         eval_cfg = EvalConfig(
             conf_threshold=hyp.get("compute_metric_conf_threshold", 0.001),
