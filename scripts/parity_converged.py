@@ -151,6 +151,19 @@ def _ref_eval(mod, T, s, hyp, eval_model, paths, size, out_plot_dir):
             "mp": float(mp), "mr": float(mr)}
 
 
+def _purge_ref_caches(root):
+    """The reference's memmap image cache (datasets.py:277-322) trusts any
+    existing cache file — an interrupted earlier run leaves an all-zeros
+    w+-allocated file that a later run silently trains on (observed: a full
+    48-epoch run on black images). Delete them so each run rebuilds."""
+    n = 0
+    for f in Path(root).glob("*/img_*_resized_cache_*.array"):
+        f.unlink()
+        n += 1
+    if n:
+        print(f"purged {n} stale reference cache file(s)")
+
+
 def cmd_ref(args):
     import random
 
@@ -158,6 +171,7 @@ def cmd_ref(args):
 
     hyp = flat_hyp()
     paths = ds_paths(args.root)
+    _purge_ref_caches(args.root)
     size = hyp["input_img_size"][0]
     nc = sum(1 for ln in paths["names"].read_text().splitlines() if ln.strip())
     if args.epochs:
@@ -199,6 +213,13 @@ def cmd_ref(args):
     model.train()
     model.zero_grad()
     no_aug = False
+    imgs_cache = getattr(dataset, "imgs", None)
+    if imgs_cache is not None:
+        cache_std = float(np.asarray(imgs_cache[:8], np.float32).std())
+        assert cache_std > 1.0, (
+            f"degenerate reference image cache (std {cache_std:.4f}) — "
+            "stale zeros from an interrupted caching run?"
+        )
     for epoch in range(epochs):
         # no-aug tail (train_yolov5.py:288-293)
         if not no_aug and epoch == epochs - hyp["no_data_aug_epoch"]:

@@ -28,17 +28,37 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
-def sync_median(fn, args_list, warmup=1, iters=6):
-    """Median walltime of fn over iters calls, each synced by float()ing the
-    scalar it returns. args_list entries rotate to defeat caching."""
+SYNC_EACH = False
+
+
+def sync_median(fn, args_list, warmup=1, iters=8):
+    """Median walltime of fn over iters calls. Default is the bench.py
+    pipelined scheme: submit call i, then float() call i-1's scalar — calls
+    serialize on the device, so steady-state wall time is device time and
+    the ~30 ms axon relay round-trip overlaps dispatch instead of being
+    paid per call. --sync-each restores the old float()-every-call timing
+    (per-call latency incl. relay; runs_chip/levers_r4.jsonl used this)."""
+    if SYNC_EACH:
+        for i in range(warmup):
+            float(fn(*args_list[i % len(args_list)]))
+        times = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            float(fn(*args_list[i % len(args_list)]))
+            times.append(time.perf_counter() - t0)
+        return sorted(times)[len(times) // 2]
     for i in range(warmup):
         float(fn(*args_list[i % len(args_list)]))
-    times = []
+    pending, times = None, []
     for i in range(iters):
         t0 = time.perf_counter()
-        float(fn(*args_list[i % len(args_list)]))
+        out = fn(*args_list[i % len(args_list)])
+        if pending is not None:
+            float(pending)
+        pending = out
         times.append(time.perf_counter() - t0)
-    return sorted(times)[len(times) // 2]
+    float(pending)
+    return sorted(times[1:])[len(times[1:]) // 2]
 
 
 def main():
@@ -64,7 +84,15 @@ def main():
                          "to compile for flag sweeps)")
     ap.add_argument("--trace", default=None,
                     help="directory for a jax.profiler trace of 3 full steps")
+    ap.add_argument("--gather-mode", default=None, choices=["flat", "cells"],
+                    help="loss candidate-gather lowering A/B (default: "
+                         "YOLOv5LossConfig default)")
+    ap.add_argument("--sync-each", action="store_true",
+                    help="float() every call instead of pipelining "
+                         "(adds the ~30 ms relay round-trip per call)")
     args = ap.parse_args()
+    global SYNC_EACH
+    SYNC_EACH = args.sync_each
 
     import jax
     import jax.numpy as jnp
@@ -87,7 +115,10 @@ def main():
     model = create_model(args.model, num_class=nc, dtype=jnp.bfloat16,
                          s2d_stem=args.s2d_stem, remat=args.remat)
     gflops = summarize_model(model, (1, S, S, 3))["gflops"]
-    loss_cfg = YOLOv5LossConfig(num_class=nc, input_size=(S, S))
+    loss_kw = {}
+    if args.gather_mode:
+        loss_kw["gather_mode"] = args.gather_mode
+    loss_cfg = YOLOv5LossConfig(num_class=nc, input_size=(S, S), **loss_kw)
     anchors = jnp.asarray(YOLOV5_ANCHORS)
 
     cfg = OptimizerConfig(batch_size=B, total_epochs=2, steps_per_epoch=4,

@@ -55,6 +55,15 @@ VARIANTS = [
     ("donate_b192", ["--donate", "--batch", "192"], {}),
     ("donate_b256", ["--donate", "--batch", "256"], {}),
     ("donate_remat_b256", ["--donate", "--remat", "--batch", "256"], {}),
+    # --- round-5 levers ---
+    # loss candidate-gather lowering: cells-indexed gather avoids the
+    # (B, H*W*A, 85) reshape relayout copies (~16 ms/step in the r5 trace)
+    ("gather_cells", ["--gather-mode", "cells"], {}),
+    (
+        "gather_cells_latency_hiding",
+        ["--gather-mode", "cells"],
+        {"XLA_FLAGS": "--xla_tpu_enable_latency_hiding_scheduler=true"},
+    ),
     # width-vs-MFU diagnostics: same step/loss, wider convs. If MFU climbs
     # with base_width (s=32 -> m=48 -> l=64), the v5s residual is
     # narrow-channel MXU occupancy (conv-algorithm-bound), not scheduling.

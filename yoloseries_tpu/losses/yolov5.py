@@ -53,6 +53,13 @@ class YOLOv5LossConfig:
     use_focal_loss: bool = True
     focal_loss_gamma: float = 1.5
     focal_loss_alpha: float = 0.25
+    # candidate-gather lowering: "flat" reshapes each stage map to
+    # (B, H*W*A, 85) and take_along_axis's it — XLA materializes the
+    # row-major reshape with large relayout copies (fwd + transposed bwd,
+    # ~16 ms/step at b128@640 in the r5 trace); "cells" indexes the
+    # (B, H, W, A, 85) view by (gy, gx) directly so only the gathered
+    # (B, M, 5, A, 85) rows materialize. Identical values either way.
+    gather_mode: str = "flat"
 
 
 def initial_balances(num_stages: int = 3) -> jnp.ndarray:
@@ -125,12 +132,16 @@ def yolov5_loss(
         flat_idx = (
             flat_cell[:, :, None, :] + jnp.arange(na)[None, None, :, None]
         )  # (B, M, A, 5)
-        pred_flat = pred.reshape(batch_size, fm_h * fm_w * na, 5 + nc)
         idx2 = flat_idx.reshape(batch_size, -1)  # (B, M*A*5)
-        cur = jnp.take_along_axis(pred_flat, idx2[..., None], axis=1)
-        cur = cur.reshape(batch_size, num_boxes, na, 5, 5 + nc).astype(
-            jnp.float32
-        )
+        if cfg.gather_mode == "cells":
+            bidx = jnp.arange(batch_size)[:, None, None]
+            # (B, M, 5) cell coords -> (B, M, 5, A, 85) -> (B, M, A, 5, 85)
+            cur = pred[bidx, a["gy"], a["gx"]].transpose(0, 1, 3, 2, 4)
+        else:
+            pred_flat = pred.reshape(batch_size, fm_h * fm_w * na, 5 + nc)
+            cur = jnp.take_along_axis(pred_flat, idx2[..., None], axis=1)
+            cur = cur.reshape(batch_size, num_boxes, na, 5, 5 + nc)
+        cur = cur.astype(jnp.float32)
 
         # ---- classification (positives only, loss/yolov5_loss.py:81-93)
         if nc > 1:
