@@ -56,7 +56,9 @@ def make_dataset(root: Path, n: int, size: int, seed: int = 0):
                 f"{min(x1 + bw, w - 1):.1f} {min(y1 + bh, h - 1):.1f}"
             )
         (lab_dir / f"{i:05d}.txt").write_text("\n".join(lines) + "\n")
-    (root / "names.txt").write_text("\n".join(f"c{i}" for i in range(20)) + "\n")
+    (root / "names.txt").write_text(
+        "\n".join(f"{i} c{i}" for i in range(20)) + "\n"
+    )
     return img_dir, lab_dir, root / "names.txt"
 
 

@@ -43,8 +43,10 @@ from ref_loader import REFERENCE, load_reference_loss  # noqa: E402
 
 pytestmark = [
     pytest.mark.skipif(not REFERENCE.exists(), reason="reference repo not mounted"),
-    pytest.mark.slow,
 ]
+# slow per test, not module-wide: the v5 oracle is promoted to the fast
+# tier (VERDICT r4 Next #5) so the default run touches a torch-parity path
+slow = pytest.mark.slow
 
 B, M, NC = 2, 12, 8
 SIZE = 160  # /32 = 5; retinanet/fcos use 128 (5 pyramid levels)
@@ -120,6 +122,7 @@ def test_yolov5_loss_parity_with_reference():
     compare(ref, ours, ("iou_loss", "cof_loss", "cls_loss", "tot_loss"))
 
 
+@slow
 def test_yolov7_loss_parity_with_reference():
     import torch
 
@@ -156,6 +159,7 @@ def test_yolov7_loss_parity_with_reference():
     compare(ref, ours, ("iou_loss", "cof_loss", "cls_loss", "tot_loss"))
 
 
+@slow
 def test_yolox_loss_parity_with_reference():
     import torch
 
@@ -192,6 +196,7 @@ def test_yolox_loss_parity_with_reference():
                         "tot_loss"))
 
 
+@slow
 def test_yolov8_loss_parity_with_reference():
     import torch
 
@@ -220,6 +225,7 @@ def test_yolov8_loss_parity_with_reference():
     compare(ref, ours, ("iou_loss", "cls_loss", "dfl_loss", "tot_loss"))
 
 
+@slow
 def test_retinanet_loss_parity_with_reference():
     import torch
 
@@ -265,6 +271,7 @@ def test_retinanet_loss_parity_with_reference():
     assert r_cls < o_cls, (r_cls, o_cls)
 
 
+@slow
 def test_fcos_loss_parity_with_reference():
     import torch
 

@@ -7,12 +7,16 @@ import pytest
 
 from conftest import run_in_clean_subprocess
 
-# every test spawns a clean-subprocess 8-device CPU mesh and compiles a full
-# train/eval step from scratch (~100 s each over the tunneled cache) — the
-# driver's dryrun covers the same path every round, so these are slow-tier
-pytestmark = pytest.mark.slow
+# most tests here spawn a clean-subprocess 8-device CPU mesh and compile a
+# full train/eval step from scratch (~100 s each over the tunneled cache) —
+# the driver's dryrun covers the same path every round, so they are
+# slow-tier, marked per test. Exception (VERDICT r4 Next #5): ONE sharding
+# lifecycle test stays in the fast tier so the default `-m fast` run
+# exercises the distributed path at all.
+slow = pytest.mark.slow
 
 
+@slow
 def test_dryrun_multichip_8():
     """The driver's multichip entry: full yolov5s train step over 8 devices."""
     proc = run_in_clean_subprocess(
@@ -69,6 +73,7 @@ print('sharded == single:', l1, l8)
     assert "sharded == single" in proc.stdout
 
 
+@slow
 def test_postprocess_sharded_batch():
     """vmapped NMS postprocess runs under a sharded batch axis."""
     code = """
@@ -91,6 +96,7 @@ print('sharded postprocess ok')
     assert "sharded postprocess ok" in proc.stdout
 
 
+@slow
 def test_ddp_per_replica_bn():
     """shard_map DDP step: per-replica BN stats diverge on different shards,
     stay identical on identical shards, and pre-eval sync averages them."""
@@ -160,6 +166,7 @@ print('ddp per-replica bn ok', float(metrics['tot_loss']))
     assert "ddp per-replica bn ok" in proc.stdout
 
 
+@slow
 def test_trainer_per_replica_bn_flag():
     """Trainer with per_replica_bn: true trains via the shard_map DDP step
     and eval_variables syncs the per-replica stats."""
@@ -237,6 +244,7 @@ finally:
     assert "trainer ddp ok" in proc.stdout
 
 
+@slow
 def test_trainer_full_lifecycle_pjit_8dev():
     """VERDICT round-2 item 6: Trainer.train() + evaluate() + checkpoint
     save/restore-resume end-to-end on 8 fake devices under the DEFAULT pjit

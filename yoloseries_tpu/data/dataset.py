@@ -200,6 +200,26 @@ class DetectionDataset:
         img = self.load_img(idx)
         return img, boxes, classes
 
+    def pull_meta(self, idx: int):
+        """Like pull_item but WITHOUT touching pixel bytes: returns
+        ((h, w), boxes (N,4) xyxy, classes (N,)) for the image pull_item
+        would serve. Device-cache augmentation plans (data/device_aug.py,
+        with_pixels=False) only need shapes + labels — slicing the memmap
+        cache here copied ~1.2 MB per pull (8 pulls per mosaic+mixup plan)
+        that the renderer then re-read from the chip-resident cache."""
+        ann = self.load_annotations(idx)
+        boxes, classes = ann[:, 1:5].copy(), ann[:, 0].copy()
+        if self._cache is not None:
+            rh, rw = self._cache_shapes[idx]
+            h, w = self.input_size
+            H, W = self._orig_shapes[idx]
+            boxes = boxes * min(h / H, w / W)
+            return (int(rh), int(rw)), boxes, classes
+        # no cache: a PIL header read gives the size without decoding
+        with Image.open(self.img_files[idx]) as im:
+            w0, h0 = im.size
+        return (int(h0), int(w0)), boxes, classes
+
     def _mosaic(self, idx: int, rng: np.random.Generator):
         indices = [idx] + [int(rng.integers(0, len(self))) for _ in range(3)]
         rng.shuffle(indices)
