@@ -90,6 +90,13 @@ def main():
     ap.add_argument("--sync-each", action="store_true",
                     help="float() every call instead of pipelining "
                          "(adds the ~30 ms relay round-trip per call)")
+    ap.add_argument("--xla-opt", action="append", default=[],
+                    help="key=value TPU compiler option, passed per-compile "
+                         "via lowered.compile(compiler_options=...). "
+                         "XLA_FLAGS cannot carry TPU flags here: the host "
+                         "jaxlib's parse_flags_from_env is CPU-only and "
+                         "aborts on unknown --xla_tpu_* flags (the compile "
+                         "itself happens remotely). full_step stage only.")
     args = ap.parse_args()
     global SYNC_EACH
     SYNC_EACH = args.sync_each
@@ -201,6 +208,11 @@ def main():
     step = make_train_step(loss_cfg, YOLOV5_ANCHORS, accumulate=args.accumulate,
                            compute_dtype=jnp.bfloat16, donate=args.donate)
     batches = [{"img": im, "ann": an} for im, an in zip(imgs, anns)]
+
+    if args.xla_opt:
+        opts = dict(kv.split("=", 1) for kv in args.xla_opt)
+        step = step.lower(state, batches[0]).compile(compiler_options=opts)
+        print(f"# compiled with compiler_options={opts}")
 
     def full(b):
         nonlocal state

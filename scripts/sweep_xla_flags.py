@@ -31,20 +31,24 @@ VARIANTS = [
     # remat frees HBM; pair it with the batch the chip couldn't fit before
     ("remat_b256", ["--remat", "--batch", "256"], {}),
     ("s2d_remat_b256", ["--s2d-stem", "--remat", "--batch", "256"], {}),
+    # TPU compiler flags CANNOT ride XLA_FLAGS here: the host jaxlib's
+    # parse_flags_from_env is CPU-only and hard-aborts on unknown
+    # --xla_tpu_* flags (compilation happens remotely). They go through
+    # profile_train --xla-opt -> lowered.compile(compiler_options=...).
     (
         "latency_hiding",
-        [],
-        {"XLA_FLAGS": "--xla_tpu_enable_latency_hiding_scheduler=true"},
+        ["--xla-opt", "xla_tpu_enable_latency_hiding_scheduler=true"],
+        {},
     ),
     (
         "vmem_128m",
-        [],
-        {"XLA_FLAGS": "--xla_tpu_scoped_vmem_limit_kib=131072"},
+        ["--xla-opt", "xla_tpu_scoped_vmem_limit_kib=131072"],
+        {},
     ),
     (
         "s2d_vmem_128m",
-        ["--s2d-stem"],
-        {"XLA_FLAGS": "--xla_tpu_scoped_vmem_limit_kib=131072"},
+        ["--s2d-stem", "--xla-opt", "xla_tpu_scoped_vmem_limit_kib=131072"],
+        {},
     ),
     # --- round-4 backward-MFU levers (VERDICT r3 Next #2) ---
     # donation halves param+opt-state HBM residency during the step; the
@@ -61,8 +65,9 @@ VARIANTS = [
     ("gather_cells", ["--gather-mode", "cells"], {}),
     (
         "gather_cells_latency_hiding",
-        ["--gather-mode", "cells"],
-        {"XLA_FLAGS": "--xla_tpu_enable_latency_hiding_scheduler=true"},
+        ["--gather-mode", "cells",
+         "--xla-opt", "xla_tpu_enable_latency_hiding_scheduler=true"],
+        {},
     ),
     # width-vs-MFU diagnostics: same step/loss, wider convs. If MFU climbs
     # with base_width (s=32 -> m=48 -> l=64), the v5s residual is

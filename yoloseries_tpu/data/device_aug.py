@@ -165,8 +165,6 @@ def _plan_mosaic(dataset, idx, rng, plan, layer):
     and box arithmetic (data/augment.py mosaic4), but instead of painting a
     (2h, 2w) canvas it records, per tile, the crop placed into the plan's
     tile buffer (half-aligned, see _place_tile) and its canvas rect."""
-    from ..ops.metrics import pairwise_iou_np
-
     indices = [idx] + [int(rng.integers(0, len(dataset))) for _ in range(3)]
     rng.shuffle(indices)
     if "tiles" in plan:
@@ -216,15 +214,28 @@ def _plan_mosaic(dataset, idx, rng, plan, layer):
         labels = np.asarray(labels)
         if len(boxes) == 0:
             continue
-        crop = np.array([[xi1, yi1, xi2, yi2]], dtype=np.float32)
-        keep = pairwise_iou_np(boxes, crop).squeeze(axis=1) > 0
+        # keep boxes overlapping the crop rect: IoU > 0 iff iw > 0 and
+        # ih > 0 (pairwise_iou_np's denominator is clipped positive) —
+        # interval tests avoid the generic (M, 1) IoU machinery, which was
+        # ~16% of plan time (4+ calls per mosaic on tiny arrays)
+        keep = (
+            (np.minimum(boxes[:, 2], xi2) - np.maximum(boxes[:, 0], xi1) > 0)
+            & (np.minimum(boxes[:, 3], yi2) - np.maximum(boxes[:, 1], yi1) > 0)
+        )
         if keep.sum() == 0:
             continue
-        b = boxes[keep].copy()
-        orig_area = np.prod(boxes[keep][:, 2:4] - boxes[keep][:, 0:2], axis=1)
-        b[:, [0, 2]] = np.clip(np.round(b[:, [0, 2]], 2), xi1, xi2 - 1) - xi1 + xo1
-        b[:, [1, 3]] = np.clip(np.round(b[:, [1, 3]], 2), yi1, yi2 - 1) - yi1 + yo1
-        cur_area = np.prod(b[:, 2:4] - b[:, 0:2], axis=1)
+        bk = boxes[keep]
+        b = bk.copy()
+        orig_area = (bk[:, 2] - bk[:, 0]) * (bk[:, 3] - bk[:, 1])
+        # np.clip == minimum(maximum(...)) for float arrays; the direct
+        # ufunc pair skips the fromnumeric dispatch layer
+        b[:, [0, 2]] = np.minimum(
+            np.maximum(np.round(b[:, [0, 2]], 2), xi1), xi2 - 1
+        ) - xi1 + xo1
+        b[:, [1, 3]] = np.minimum(
+            np.maximum(np.round(b[:, [1, 3]], 2), yi1), yi2 - 1
+        ) - yi1 + yo1
+        cur_area = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
         retention = np.round(cur_area / orig_area, 1)
         valid = retention >= 0.3
         boxes_out.append(b[valid])
@@ -282,8 +293,12 @@ def _plan_chain(plan, boxes, labels, plane_hw, cfg: AugmentConfig, rng):
             if len(boxes):
                 bw = np.maximum(boxes[:, 2] - boxes[:, 0], 0)
                 bh = np.maximum(boxes[:, 3] - boxes[:, 1], 0)
-                iw = np.clip(np.minimum(boxes[:, 2], x2) - np.maximum(boxes[:, 0], x1), 0, w)
-                ih = np.clip(np.minimum(boxes[:, 3], y2) - np.maximum(boxes[:, 1], y1), 0, h)
+                iw = np.minimum(np.maximum(
+                    np.minimum(boxes[:, 2], x2) - np.maximum(boxes[:, 0], x1),
+                    0), w)
+                ih = np.minimum(np.maximum(
+                    np.minimum(boxes[:, 3], y2) - np.maximum(boxes[:, 1], y1),
+                    0), h)
                 inter = iw * ih
                 iou = inter / (mask_area + bw * bh - inter + 1e-16)
                 bad = iou > cfg.cutout_iou_thr
@@ -344,8 +359,8 @@ def _plan_chain(plan, boxes, labels, plane_hw, cfg: AugmentConfig, rng):
             x2 = rw - b[:, 0].copy()
             b[:, 0], b[:, 2] = x1, x2
         if len(b):
-            b[:, [0, 2]] = np.clip(b[:, [0, 2]] - x_off, 0, w)
-            b[:, [1, 3]] = np.clip(b[:, [1, 3]] - y_off, 0, h)
+            b[:, [0, 2]] = np.minimum(np.maximum(b[:, [0, 2]] - x_off, 0), w)
+            b[:, [1, 3]] = np.minimum(np.maximum(b[:, [1, 3]] - y_off, 0), h)
             ws = b[:, 2] - b[:, 0] + 1e-16
             hs = b[:, 3] - b[:, 1] + 1e-16
             ar = np.maximum(ws / hs, hs / ws)
