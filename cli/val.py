@@ -28,6 +28,10 @@ def parse_args():
     p.add_argument("--input-size", type=int, default=640)
     p.add_argument("--tta", action="store_true")
     p.add_argument("--plot-dir", default=None, help="save P/R/F1/PR curves")
+    p.add_argument("--params", choices=["ema", "raw"], default="ema",
+                   help="evaluate EMA weights (reference default, "
+                        "train_yolov5.py validates ema.ema) or the raw "
+                        "trained params (diagnostics)")
     p.add_argument("--max-batches", type=int, default=None)
     # offline-mAP debugging dumps (`save_pred_bbox`/`save_gt_bbox`,
     # train_yolov5.py:758-762): pickle the per-image (n, 6) predictions and
@@ -98,9 +102,14 @@ def main():
         model.apply, decode_fn, eval_cfg,
         select_fn=select_builder(eval_cfg) if select_builder else None,
     )
-    variables = {"params": state.ema_params}
-    if state.ema_batch_stats:
-        variables["batch_stats"] = state.ema_batch_stats
+    if args.params == "raw":
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+    else:
+        variables = {"params": state.ema_params}
+        if state.ema_batch_stats:
+            variables["batch_stats"] = state.ema_batch_stats
 
     loader = DataLoader(dataset, batch_size=args.batch_size, shuffle=False,
                         infinite=False, enable_aug=False)

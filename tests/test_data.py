@@ -128,3 +128,37 @@ def test_dataloader_finite_mode(micro_dataset):
     loader = DataLoader(ds, batch_size=4, max_labels=10, workers=2, infinite=False, shuffle=False)
     batches = list(loader)
     assert len(batches) == 2
+
+
+def test_cached_canvas_serving(micro_dataset, tmp_path):
+    """With the image cache active, pull_item serves the FULL input-size
+    canvas (content top-left, zero pad) by default — the reference's
+    de facto training distribution (dataset/datasets.py:350-357 serves
+    self.imgs[ix], the whole memmap row; its uncached path is broken in
+    its own code). cached_canvas=False restores tight content crops."""
+    img_dir, lab_dir, names = micro_dataset
+    kw = dict(input_size=(128, 128), enable_aug=False, cache_images=True,
+              cache_dir=tmp_path)
+    canvas_ds = DetectionDataset(img_dir, lab_dir, names, **kw)
+    crop_ds = DetectionDataset(img_dir, lab_dir, names, cached_canvas=False,
+                               **kw)
+
+    img_c, boxes_c, cls_c = canvas_ds.pull_item(0)
+    img_t, boxes_t, cls_t = crop_ds.pull_item(0)
+    assert img_c.shape == (128, 128, 3)
+    rh, rw = crop_ds._cache_shapes[0]
+    assert img_t.shape == (rh, rw, 3)
+    assert (rh, rw) != (128, 128)  # micro images are non-square
+    # content region identical; canvas pad is zeros
+    np.testing.assert_array_equal(img_c[:rh, :rw], img_t)
+    assert img_c[rh:].sum() == 0 and img_c[:, rw:].sum() == 0
+    # boxes identical in both modes (same min-scale ratio)
+    np.testing.assert_array_equal(boxes_c, boxes_t)
+    np.testing.assert_array_equal(cls_c, cls_t)
+
+    # pull_meta agrees with pull_item on the served shape in both modes
+    (h_c, w_c), mb_c, _ = canvas_ds.pull_meta(0)
+    (h_t, w_t), mb_t, _ = crop_ds.pull_meta(0)
+    assert (h_c, w_c) == (128, 128) and (h_t, w_t) == (int(rh), int(rw))
+    np.testing.assert_array_equal(mb_c, boxes_c)
+    np.testing.assert_array_equal(mb_t, boxes_t)

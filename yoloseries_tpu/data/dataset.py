@@ -57,7 +57,19 @@ class DetectionDataset:
         enable_aug: bool = True,
         cache_images: bool = False,
         cache_dir=None,
+        cached_canvas: bool | None = None,
     ):
+        # cached_canvas: serve the FULL (h, w) cache row — min-scale content
+        # top-left, the remainder zero — instead of the content crop. This
+        # is the reference's de facto TRAINING distribution: its
+        # pull_item (dataset/datasets.py:350-357) returns self.imgs[ix],
+        # the whole memmap canvas, and mosaic composes those padded
+        # canvases (:188-212). Its cache_num=0 (uncached) path is broken in
+        # its own code (empty memmap, :292), so cache-everything canvases
+        # are what every reference training run actually sees. Round-5
+        # converged-parity A/B measured the difference at ~13 mAP50 pts on
+        # the synthetic set, so parity REQUIRES it: default ON when the
+        # cache is active. Pass False to serve tight content crops instead.
         self.img_dir = Path(img_dir)
         self.lab_dir = Path(lab_dir)
         self.input_size = tuple(input_size)
@@ -93,6 +105,8 @@ class DetectionDataset:
         self._cache = None
         self._cache_shapes = None
         self._orig_shapes = None
+        self.cached_canvas = bool(cache_images) if cached_canvas is None \
+            else bool(cached_canvas)
         if cache_images:
             self._build_cache(cache_dir)
 
@@ -188,15 +202,18 @@ class DetectionDataset:
         ann = self.load_annotations(idx)
         boxes, classes = ann[:, 1:5].copy(), ann[:, 0].copy()
         if self._cache is not None:
-            rh, rw = self._cache_shapes[idx]
-            img = np.asarray(self._cache[idx, :rh, :rw])
             # boxes scale by the cached resize ratio r = min(h/H, w/W);
             # original sizes come from the cache sidecar (a PIL header
             # read here cost 8 file opens per mosaic+mixup plan)
             h, w = self.input_size
             H, W = self._orig_shapes[idx]
             boxes = boxes * min(h / H, w / W)
-            return img, boxes, classes
+            if self.cached_canvas:
+                # reference-parity: the whole canvas row, zero-padded
+                # beyond the content region (see __init__ docnote)
+                return np.asarray(self._cache[idx]), boxes, classes
+            rh, rw = self._cache_shapes[idx]
+            return np.asarray(self._cache[idx, :rh, :rw]), boxes, classes
         img = self.load_img(idx)
         return img, boxes, classes
 
@@ -210,10 +227,12 @@ class DetectionDataset:
         ann = self.load_annotations(idx)
         boxes, classes = ann[:, 1:5].copy(), ann[:, 0].copy()
         if self._cache is not None:
-            rh, rw = self._cache_shapes[idx]
             h, w = self.input_size
             H, W = self._orig_shapes[idx]
             boxes = boxes * min(h / H, w / W)
+            if self.cached_canvas:
+                return (int(h), int(w)), boxes, classes
+            rh, rw = self._cache_shapes[idx]
             return (int(rh), int(rw)), boxes, classes
         # no cache: a PIL header read gives the size without decoding
         with Image.open(self.img_files[idx]) as im:
