@@ -97,6 +97,7 @@ class DetectionDataset:
             self.cls2name = {}
         self._num_class = None
         self._ann_cache: dict = {}
+        self._meta_cache: dict = {}
 
         # optional np.memmap cache of min-scale-resized images
         # (dataset/datasets.py:277-322 _cache_image). When active, pull_item
@@ -224,6 +225,13 @@ class DetectionDataset:
         with_pixels=False) only need shapes + labels — slicing the memmap
         cache here copied ~1.2 MB per pull (8 pulls per mosaic+mixup plan)
         that the renderer then re-read from the chip-resident cache."""
+        # memoized: shape/boxes/classes are static per index, and a
+        # mosaic+mixup plan pulls 8+ of them. The returned arrays are
+        # SHARED — every consumer in the plan path copies before mutating
+        # (mosaic rounds into new arrays, flips/jitting copy first).
+        cached = self._meta_cache.get(idx)
+        if cached is not None:
+            return cached
         ann = self.load_annotations(idx)
         boxes, classes = ann[:, 1:5].copy(), ann[:, 0].copy()
         if self._cache is not None:
@@ -231,13 +239,18 @@ class DetectionDataset:
             H, W = self._orig_shapes[idx]
             boxes = boxes * min(h / H, w / W)
             if self.cached_canvas:
-                return (int(h), int(w)), boxes, classes
-            rh, rw = self._cache_shapes[idx]
-            return (int(rh), int(rw)), boxes, classes
+                out = ((int(h), int(w)), boxes, classes)
+            else:
+                rh, rw = self._cache_shapes[idx]
+                out = ((int(rh), int(rw)), boxes, classes)
+            self._meta_cache[idx] = out
+            return out
         # no cache: a PIL header read gives the size without decoding
         with Image.open(self.img_files[idx]) as im:
             w0, h0 = im.size
-        return (int(h0), int(w0)), boxes, classes
+        out = ((int(h0), int(w0)), boxes, classes)
+        self._meta_cache[idx] = out
+        return out
 
     def _mosaic(self, idx: int, rng: np.random.Generator):
         indices = [idx] + [int(rng.integers(0, len(self))) for _ in range(3)]
