@@ -163,10 +163,20 @@ def test_dataset_image_cache(tmp_path):
         (lab_dir / f"{i}.txt").write_text("0 10 10 80 60\n")
     ds = DetectionDataset(img_dir, lab_dir, input_size=(64, 64),
                           cache_images=True, cache_dir=tmp_path)
+    # default with the cache: reference-parity FULL canvas serving
+    # (content top-left, zero pad — dataset/datasets.py:350-357)
     img, boxes, classes = ds.pull_item(0)
-    # cached image is min-scale resized: r = min(64/100, 64/200) = 0.32
-    assert img.shape[0] == 32 and img.shape[1] == 64
+    assert img.shape == (64, 64, 3)
+    assert img[32:].sum() == 0  # pad rows below the 32-px content
     np.testing.assert_allclose(boxes[0], np.array([10, 10, 80, 60]) * 0.32, rtol=1e-5)
+    # cached_canvas=False: tight min-scale crop, r = min(64/100, 64/200)
+    ds2 = DetectionDataset(img_dir, lab_dir, input_size=(64, 64),
+                           cache_images=True, cache_dir=tmp_path,
+                           cached_canvas=False)
+    img2, boxes2, _ = ds2.pull_item(0)
+    assert img2.shape[0] == 32 and img2.shape[1] == 64
+    np.testing.assert_array_equal(img[:32], img2)
+    np.testing.assert_allclose(boxes2, boxes, rtol=1e-7)
 
 
 def test_multilabel_postprocess():
